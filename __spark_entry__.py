@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (PageRank over the synthetic web-page
+link graph + sf0.001 order graph).  ``queries()`` — one entry per
+implemented operator (SURVEY.md §2), each (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per SQL-expressible query.
+
+Graph slices run over edge views derived from the driver tables:
+  - orders bipartite:  o_custkey → o_orderkey + 10^9 (directed, star
+    forest — CC ground truth is trivially SQL-expressible)
+  - part co-occurrence: parts appearing in the same order (undirected,
+    has triangles)
+
+All double outputs are rounded to 6 dp on BOTH sides so the driver's
+value-hash compare is robust to summation order.
 """
 
 from __future__ import annotations
@@ -12,27 +20,555 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+ORDER_OFFSET = 1_000_000_000
+
+
+# ----------------------------------------------------------------- views --
+
+def _orders_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected canonical part co-occurrence graph (same order)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+_PART_EDGES_SQL = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst, 1.0 AS weight
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+"""
+
+_ORDER_EDGES_SQL = f"""
+    SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst, 1.0 AS weight
+    FROM orders
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+# ---------------------------------------------------------------- entry --
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PageRank to 1e-8 over the sf0.001 order graph."""
+    from communitydetection_jl_spark.operators.pagerank import pagerank
+
+    edges = _orders_edges(spark, "/root/testdata/sf0.001")
+    res = pagerank(edges, damping=0.85, tol=1e-8, max_iter=100)
+    return res.ranks.select("id", F.round("pagerank", 9).alias("pagerank"))
+
+
+# -------------------------------------------------------------- queries --
+
+def q_degrees(spark, sf_dir):
+    from communitydetection_jl_spark.operators.degrees import degrees
+
+    e = _orders_edges(spark, sf_dir)
+    d = degrees(e, directed=True)
+    return _r6(
+        d.select("id", "out_deg", "in_deg", "out_strength", "in_strength"),
+        "out_strength", "in_strength",
+    )
+
+
+def q_degrees_undirected(spark, sf_dir):
+    from communitydetection_jl_spark.operators.degrees import degrees
+
+    e = _part_edges(spark, sf_dir)
+    return degrees(e, directed=False).select("id", "deg")
+
+
+def q_trans_prob(spark, sf_dir):
+    from communitydetection_jl_spark.operators.degrees import trans_prob_directed
+
+    e = _orders_edges(spark, sf_dir)
+    return _r6(
+        trans_prob_directed(e).select("src", "dst", "trans_prob"), "trans_prob"
+    )
+
+
+def q_pagerank_step(spark, sf_dir):
+    """One reference-semantics PageRank superstep from uniform init."""
+    from communitydetection_jl_spark.functions.graph import vertices_of
+    from communitydetection_jl_spark.operators.degrees import trans_prob_directed
+
+    e = _orders_edges(spark, sf_dir)
+    verts = vertices_of(e)
+    n = verts.count()
+    tau = 0.15
+    p0 = 1.0 / n
+    dangling_n = verts.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).count()
+    dp = (1 - tau) * dangling_n * p0 / n
+    msgs = (
+        trans_prob_directed(e)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.col("trans_prob") * F.lit(p0)).alias("msg"))
+    )
+    return verts.join(msgs, "id", "left").select(
+        "id",
+        F.round(
+            F.lit(dp + tau / n) + F.lit(1 - tau) * F.coalesce("msg", F.lit(0.0)), 9
+        ).alias("p1"),
+    )
+
+
+def q_components(spark, sf_dir):
+    from communitydetection_jl_spark.operators.components import connected_components
+
+    return connected_components(_orders_edges(spark, sf_dir))
+
+
+def q_lpa_step(spark, sf_dir):
+    """One synchronous LPA gather/argmax superstep from identity labels
+    on the part graph (deterministic min-label tie-break)."""
+    from communitydetection_jl_spark.functions.graph import symmetrize, vertices_of
+    from communitydetection_jl_spark.operators.lpa import lpa_superstep
+
+    e = _part_edges(spark, sf_dir)
+    labels = vertices_of(e).select("id", F.col("id").alias("lbl"))
+    sym = symmetrize(e).select("src", "dst", F.col("weight").alias("vote"))
+    out = lpa_superstep(sym, labels, sticky=False)
+    return out.select("id", F.col("lbl").alias("new_label"))
+
+
+def q_triangle_cn(spark, sf_dir):
+    from communitydetection_jl_spark.operators.triangles import edge_common_neighbors
+
+    e = _part_edges(spark, sf_dir)
+    return edge_common_neighbors(e).select("src", "dst", "cn")
+
+
+def q_triangle_counts(spark, sf_dir):
+    from communitydetection_jl_spark.operators.triangles import vertex_triangle_counts
+
+    return vertex_triangle_counts(_part_edges(spark, sf_dir)).select("id", "triangles")
+
+
+def q_similarity(spark, sf_dir):
+    from communitydetection_jl_spark.operators.triangles import similarity
+
+    e = _part_edges(spark, sf_dir)
+    return _r6(similarity(e).select("src", "dst", "similarity"), "similarity")
+
+
+def _brand_membership(spark, sf_dir):
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.select(
+        F.col("p_partkey").alias("id"),
+        F.xxhash64("p_brand").alias("comm"),
+    )
+
+
+def q_collapse(spark, sf_dir):
+    """Collapse the part graph by brand membership."""
+    from communitydetection_jl_spark.operators.coarsen import collapse_graph
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    coarse = collapse_graph(e, memb, directed=False)
+    return coarse.select(
+        F.col("src").alias("comm_a"), F.col("dst").alias("comm_b"), "weight"
+    )
+
+
+def q_modularity_terms(spark, sf_dir):
+    """Per-community modularity terms e_c (2·intra weight) and a_c."""
+    from communitydetection_jl_spark.operators.modularity import edges_with_comms
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    ec = edges_with_comms(e, memb)
+    ecol = (
+        ec.filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("comm"))
+        .agg(F.sum(2 * F.col("weight")).alias("e_c"))
+    )
+    acol = (
+        ec.select(F.col("cs").alias("comm"), "weight")
+        .unionByName(ec.select(F.col("cd").alias("comm"), "weight"))
+        .groupBy("comm")
+        .agg(F.sum("weight").alias("a_c"))
+    )
+    return _r6(
+        acol.join(ecol, "comm", "left")
+        .select("comm", F.coalesce("e_c", F.lit(0.0)).alias("e_c"), "a_c"),
+        "e_c", "a_c",
+    )
+
+
+def q_ns_ms_cs(spark, sf_dir):
+    from communitydetection_jl_spark.operators.community_metrics import ns_ms_cs
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    return ns_ms_cs(e, memb)
+
+
+def q_contingency(spark, sf_dir):
+    from communitydetection_jl_spark.operators.compare import contingency
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ma = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    mb = p.select(
+        F.col("p_partkey").alias("id"),
+        F.substring(F.col("p_type"), 1, 6).alias("comm"),
+    )
+    return contingency(ma, mb).select(
+        F.col("ca").alias("comm_a"), F.col("cb").alias("comm_b"), "nij"
+    )
+
+
+def q_renumber(spark, sf_dir):
+    from communitydetection_jl_spark.operators.coarsen import renumber_communities
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    return renumber_communities(memb)
+
+
+# ------------- training-data pipeline queries (documents/embeddings) ----
+
+def q_exact_dup_groups(spark, sf_dir):
+    from communitydetection_jl_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir)).select("keep_id", "n_dups")
+
+
+def q_token_count(spark, sf_dir):
+    from communitydetection_jl_spark.operators.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir)).select("id", "ws_tokens")
+
+
+def q_text_quality(spark, sf_dir):
+    from communitydetection_jl_spark.operators.textstats import quality_score
+
+    return _r6(
+        quality_score(_docs(spark, sf_dir)).select(
+            "id", F.col("n_chars").cast("long").alias("n_chars"),
+            "alpha_ratio", "punct_ratio"
+        ),
+        "alpha_ratio", "punct_ratio",
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """MD5 content fingerprint (md5 exists in both engines)."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(F.col("doc_id").alias("id"), F.md5(norm).alias("fp"))
+
+
+def q_ann_topk(spark, sf_dir):
+    from communitydetection_jl_spark.operators.ann import brute_force_topk
+
+    vec = _emb(spark, sf_dir)
+    queries = vec.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # rank on rounded cosine so tie order matches the oracle
+    out = brute_force_topk(vec, queries, k=10)
+    return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_lang_id(spark, sf_dir):
+    from communitydetection_jl_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir)).select("id", "pred_lang")
+
+
+# ------------------- non-SQL-expressible (rows-only checks) -------------
+
+def q_pagerank_full(spark, sf_dir):
+    from communitydetection_jl_spark.operators.pagerank import pagerank
+
+    res = pagerank(_orders_edges(spark, sf_dir), tol=1e-8, max_iter=100)
+    return res.ranks.select("id", F.round("pagerank", 9).alias("pagerank"))
+
+
+def q_lpa_full(spark, sf_dir):
+    from communitydetection_jl_spark.operators.lpa import lpa
+
+    return lpa(_part_edges(spark, sf_dir), max_iter=30).labels
+
+
+def q_louvain(spark, sf_dir):
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges(spark, sf_dir)).membership
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from communitydetection_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from communitydetection_jl_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def q_lsh_near_vectors(spark, sf_dir):
+    from communitydetection_jl_spark.operators.ann import lsh_near_pairs
+
+    vec = _emb(spark, sf_dir)
+    dim = len(vec.select("embedding").first()[0])
+    out = lsh_near_pairs(vec, dim=dim, threshold=0.9)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "degrees": q_degrees,
+        "degrees_undirected": q_degrees_undirected,
+        "trans_prob": q_trans_prob,
+        "pagerank_step": q_pagerank_step,
+        "components": q_components,
+        "lpa_step": q_lpa_step,
+        "triangle_cn": q_triangle_cn,
+        "triangle_counts": q_triangle_counts,
+        "similarity": q_similarity,
+        "collapse": q_collapse,
+        "modularity_terms": q_modularity_terms,
+        "ns_ms_cs": q_ns_ms_cs,
+        "contingency": q_contingency,
+        "renumber": q_renumber,
+        "exact_dup_groups": q_exact_dup_groups,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "lang_id": q_lang_id,
+        # rows-only (iterative / hash-seeded, no SQL oracle)
+        "pagerank_full": q_pagerank_full,
+        "lpa_full": q_lpa_full,
+        "louvain": q_louvain,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_near_vectors": q_lsh_near_vectors,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ------------------------------------------------------------- oracles --
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "degrees": f"""
+            WITH e AS ({_ORDER_EDGES_SQL}),
+            v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+            o AS (SELECT src AS id, COUNT(*) AS od, SUM(weight) AS os FROM e GROUP BY 1),
+            i AS (SELECT dst AS id, COUNT(*) AS idg, SUM(weight) AS istr FROM e GROUP BY 1)
+            SELECT v.id,
+                   COALESCE(o.od, 0) AS out_deg,
+                   COALESCE(i.idg, 0) AS in_deg,
+                   ROUND(COALESCE(o.os, 0.0), 6) AS out_strength,
+                   ROUND(COALESCE(i.istr, 0.0), 6) AS in_strength
+            FROM v LEFT JOIN o ON v.id = o.id LEFT JOIN i ON v.id = i.id
+        """,
+        "degrees_undirected": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+            SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1
+        """,
+        "trans_prob": f"""
+            WITH e AS ({_ORDER_EDGES_SQL})
+            SELECT src, dst,
+                   ROUND(weight / SUM(weight) OVER (PARTITION BY src), 6) AS trans_prob
+            FROM e
+        """,
+        "pagerank_step": f"""
+            WITH e AS ({_ORDER_EDGES_SQL}),
+            v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            srcs AS (SELECT DISTINCT src AS id FROM e),
+            dang AS (SELECT COUNT(*) AS d FROM v WHERE id NOT IN (SELECT id FROM srcs)),
+            tp AS (SELECT src, dst, weight / SUM(weight) OVER (PARTITION BY src) AS t FROM e),
+            msg AS (SELECT dst AS id, SUM(t * (1.0 / (SELECT n FROM n))) AS m FROM tp GROUP BY 1)
+            SELECT v.id,
+                   ROUND(0.85 * (SELECT d FROM dang) * (1.0 / (SELECT n FROM n)) / (SELECT n FROM n)
+                         + 0.15 / (SELECT n FROM n)
+                         + 0.85 * COALESCE(msg.m, 0.0), 9) AS p1
+            FROM v LEFT JOIN msg ON v.id = msg.id
+        """,
+        "components": f"""
+            -- the orders graph is a star forest: comp(order) = its customer,
+            -- comp(customer) = itself (custkeys < 10^9 offset)
+            WITH e AS ({_ORDER_EDGES_SQL})
+            SELECT DISTINCT src AS id, src AS comp FROM e
+            UNION ALL
+            SELECT dst AS id, src AS comp FROM e
+        """,
+        "lpa_step": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            sym AS (SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e),
+            cnt AS (SELECT sym.src AS id, sym.dst AS lbl, SUM(sym.weight) AS c
+                    FROM sym GROUP BY 1, 2)
+            SELECT id, lbl AS new_label FROM cnt
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) = 1
+        """,
+        "triangle_cn": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+            cn AS (
+              SELECT e.src, e.dst, COUNT(*) AS c
+              FROM e JOIN sym s1 ON s1.src = e.src
+                     JOIN sym s2 ON s2.src = e.dst AND s2.dst = s1.dst
+              GROUP BY e.src, e.dst)
+            SELECT e.src, e.dst, COALESCE(cn.c, 0) AS cn
+            FROM e LEFT JOIN cn ON e.src = cn.src AND e.dst = cn.dst
+        """,
+        "triangle_counts": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+            cn AS (
+              SELECT e.src, e.dst, COUNT(*) AS c
+              FROM e JOIN sym s1 ON s1.src = e.src
+                     JOIN sym s2 ON s2.src = e.dst AND s2.dst = s1.dst
+              GROUP BY e.src, e.dst),
+            v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+            inc AS (SELECT src AS id, c FROM cn UNION ALL SELECT dst AS id, c FROM cn)
+            SELECT v.id, COALESCE(s.t, 0) AS triangles
+            FROM v LEFT JOIN (SELECT id, CAST(SUM(c) / 2 AS BIGINT) AS t FROM inc GROUP BY 1) s
+              ON v.id = s.id
+        """,
+        "similarity": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+            deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+            cn AS (
+              SELECT e.src, e.dst, COUNT(*) AS c
+              FROM e JOIN sym s1 ON s1.src = e.src
+                     JOIN sym s2 ON s2.src = e.dst AND s2.dst = s1.dst
+              GROUP BY e.src, e.dst)
+            SELECT e.src, e.dst,
+                   ROUND((COALESCE(cn.c, 0) + 2.0) /
+                         (da.d + db.d - COALESCE(cn.c, 0)), 6) AS similarity
+            FROM e LEFT JOIN cn ON e.src = cn.src AND e.dst = cn.dst
+                   JOIN deg da ON e.src = da.id
+                   JOIN deg db ON e.dst = db.id
+        """,
+        "collapse": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            m AS (SELECT p_partkey AS id, p_brand AS comm FROM part)
+            SELECT LEAST(ma.comm, mb.comm) AS comm_a,
+                   GREATEST(ma.comm, mb.comm) AS comm_b,
+                   SUM(e.weight) AS weight
+            FROM e JOIN m ma ON e.src = ma.id JOIN m mb ON e.dst = mb.id
+            GROUP BY 1, 2
+        """,
+        "modularity_terms": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            m AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+            j AS (SELECT ma.comm AS cs, mb.comm AS cd, e.weight
+                  FROM e JOIN m ma ON e.src = ma.id JOIN m mb ON e.dst = mb.id),
+            ec AS (SELECT cs AS comm, SUM(2 * weight) AS e_c FROM j WHERE cs = cd GROUP BY 1),
+            ac AS (SELECT comm, SUM(weight) AS a_c FROM
+                     (SELECT cs AS comm, weight FROM j
+                      UNION ALL SELECT cd AS comm, weight FROM j)
+                   GROUP BY 1)
+            SELECT ac.comm, ROUND(COALESCE(ec.e_c, 0.0), 6) AS e_c, ROUND(ac.a_c, 6) AS a_c
+            FROM ac LEFT JOIN ec ON ac.comm = ec.comm
+        """,
+        "ns_ms_cs": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            m AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+            j AS (SELECT ma.comm AS cs, mb.comm AS cd
+                  FROM e JOIN m ma ON e.src = ma.id JOIN m mb ON e.dst = mb.id),
+            ms AS (SELECT cs AS comm, COUNT(*) AS ms FROM j WHERE cs = cd GROUP BY 1),
+            cs AS (SELECT comm, COUNT(*) AS cs FROM
+                     (SELECT cs AS comm FROM j WHERE cs <> cd
+                      UNION ALL SELECT cd AS comm FROM j WHERE cs <> cd)
+                   GROUP BY 1),
+            ns AS (SELECT comm, COUNT(*) AS ns FROM m GROUP BY 1)
+            SELECT ns.comm, ns.ns, COALESCE(ms.ms, 0) AS ms, COALESCE(cs.cs, 0) AS cs
+            FROM ns LEFT JOIN ms ON ns.comm = ms.comm LEFT JOIN cs ON ns.comm = cs.comm
+        """,
+        "contingency": """
+            SELECT a.p_brand AS comm_a, SUBSTRING(b.p_type, 1, 6) AS comm_b,
+                   COUNT(*) AS nij
+            FROM part a JOIN part b ON a.p_partkey = b.p_partkey
+            GROUP BY 1, 2
+        """,
+        "renumber": """
+            WITH m AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+            sizes AS (SELECT comm, COUNT(*) AS n FROM m GROUP BY 1),
+            ranked AS (SELECT comm, ROW_NUMBER() OVER (ORDER BY n DESC, comm ASC) AS newc
+                       FROM sizes)
+            SELECT m.id, CAST(ranked.newc AS BIGINT) AS comm
+            FROM m JOIN ranked ON m.comm = ranked.comm
+        """,
+        "exact_dup_groups": r"""
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents
+            GROUP BY TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))
+            HAVING COUNT(*) > 1
+        """,
+        "token_count": r"""
+            SELECT doc_id AS id,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+                                        t -> t <> '')) AS INT) AS ws_tokens
+            FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id AS id,
+                   LENGTH(text) AS n_chars,
+                   ROUND(LENGTH(REGEXP_REPLACE(text, '[^\p{L}]', '', 'g'))
+                         / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
+                   ROUND(LENGTH(REGEXP_REPLACE(text, '[^\p{P}]', '', 'g'))
+                         / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0), 6) AS punct_ratio
+            FROM documents
+        """,
+        "fingerprint": r"""
+            SELECT doc_id AS id,
+                   MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT q.q_id, v.vec_id,
+                   ROUND(CAST(LIST_COSINE_SIMILARITY(v.embedding, q.q_vec) AS DOUBLE), 4) AS cosine_r
+            FROM embeddings v CROSS JOIN q
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.q_id
+                ORDER BY LIST_COSINE_SIMILARITY(v.embedding, q.q_vec) DESC, v.vec_id ASC
+            ) <= 10
+        """,
+    }

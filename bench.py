@@ -1,0 +1,120 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline workload (the north-rule metric): PageRank to 1e-6 and LPA to
+convergence over a link graph derived from the synthetic web-page
+corpus (hub-skewed, seed=42), reported as edges/sec per superstep.
+Plus the operator suite over the driver testdata at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32
+  BENCH_PAGES          default 20000 (pages in the synthetic corpus)
+
+Scaling-efficiency measurement (local[8] vs local[32]) lives in
+scripts/scaling_bench.py which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from communitydetection_jl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("linkgraph-bench", cores=cpus, shuffle_partitions=cpus)
+
+    from __spark_entry__ import _orders_edges, _part_edges
+    from communitydetection_jl_spark.operators.components import connected_components
+    from communitydetection_jl_spark.operators.dedup import minhash_lsh_pairs
+    from communitydetection_jl_spark.operators.louvain import louvain
+    from communitydetection_jl_spark.operators.lpa import lpa
+    from communitydetection_jl_spark.operators.pagerank import pagerank
+    from communitydetection_jl_spark.operators.triangles import edge_common_neighbors
+    from communitydetection_jl_spark.sources.pages import (
+        extract_edges,
+        latest_captures,
+        restrict_to_corpus,
+        synth_pages,
+        url_dim,
+    )
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # ---- headline: web link graph -------------------------------------
+    def build_web_graph():
+        pages = synth_pages(spark, n_pages=n_pages, n_hosts=max(64, n_pages // 100))
+        dim = url_dim(latest_captures(pages))
+        e = restrict_to_corpus(extract_edges(pages), dim)
+        e = e.repartition(cpus, "src").persist()
+        return e, e.count()
+
+    web_edges, web_m = timed("web_extract_edges", build_web_graph)
+    extras["web_edges"] = web_m
+
+    pr_res = timed("web_pagerank", lambda: pagerank(web_edges, tol=1e-6, max_iter=100))
+    extras["web_pagerank_iters"] = pr_res.iterations
+    extras["pagerank_edges_per_sec_per_superstep"] = round(
+        web_m * pr_res.iterations / max(queries["web_pagerank"], 1e-9), 1
+    )
+
+    lpa_res = timed("web_lpa", lambda: lpa(web_edges, max_iter=30))
+    extras["web_lpa_iters"] = lpa_res.iterations
+    # LPA gathers over the symmetrized view: 2m edge-messages per superstep
+    extras["lpa_edges_per_sec_per_superstep"] = round(
+        2 * web_m * lpa_res.iterations / max(queries["web_lpa"], 1e-9), 1
+    )
+
+    timed("web_components", lambda: connected_components(web_edges).count())
+
+    # ---- operator suite over driver testdata ---------------------------
+    part_edges = _part_edges(spark, sf_dir).persist()
+    pm = part_edges.count()
+    extras["part_edges"] = pm
+
+    timed("part_triangle_cn", lambda: edge_common_neighbors(part_edges)
+          .agg(F.sum("cn")).collect())
+    timed("part_lpa", lambda: lpa(part_edges, max_iter=20).labels.count())
+    timed("part_louvain", lambda: louvain(part_edges).membership.count())
+    timed("orders_pagerank", lambda: pagerank(
+        _orders_edges(spark, sf_dir), tol=1e-6, max_iter=50).ranks.count())
+    timed("orders_components", lambda: connected_components(
+        _orders_edges(spark, sf_dir)).count())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("docs_minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.7).count())
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "extras": extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

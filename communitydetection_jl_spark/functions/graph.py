@@ -1,0 +1,84 @@
+"""Column-level helpers shared by the graph operators.
+
+The engine's core contract is one DataFrame::
+
+    edges(src: long, dst: long, weight: double)
+
+Directed graphs store each arc once. Undirected graphs store each edge
+once in canonical (src<=dst) form; algorithms that gather over
+neighborhoods consume the symmetrized view from :func:`symmetrize`.
+
+Reference parity notes: the reference canonicalizes undirected edges
+with ``minmax`` (CommunityDetection.jl src/hlpa.jl:316-319,
+src/MPartition.jl:199-202) and iterates ``out_edges`` of both endpoints
+of each undirected edge, which is exactly the symmetrized view.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EDGE_COLS = ("src", "dst", "weight")
+
+
+def with_weight(edges: DataFrame) -> DataFrame:
+    """Ensure a double ``weight`` column (default 1.0)."""
+    if "weight" in edges.columns:
+        return edges.withColumn("weight", F.col("weight").cast("double"))
+    return edges.withColumn("weight", F.lit(1.0))
+
+
+def canonicalize_undirected(edges: DataFrame, combine: str = "sum") -> DataFrame:
+    """Canonical undirected form: src<=dst, parallel edges combined.
+
+    Reference analogue: minmax canonicalization + weight accumulation in
+    collapse_graph (src/hlpa.jl:316-339).
+    """
+    e = with_weight(edges)
+    e = e.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "weight",
+    )
+    agg = F.sum("weight") if combine == "sum" else F.max("weight")
+    return e.groupBy("src", "dst").agg(agg.alias("weight"))
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of each undirected edge; self-loops kept once.
+
+    Input must be canonical (each undirected edge exactly once).
+    """
+    e = with_weight(edges).select(*EDGE_COLS)
+    rev = e.filter(F.col("src") != F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return e.unionByName(rev)
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids appearing as either endpoint: (id: long)."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def plogp(col):
+    """x*log(x) with plogp(0)=0 — the map-equation/entropy kernel.
+
+    Reference analogue: src/FlowPartition.jl:143-144, src/metrics.jl:2.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c > 0, c * F.log(c)).otherwise(F.lit(0.0))
+
+
+def num_edges(edges: DataFrame) -> int:
+    return edges.count()
+
+
+def total_weight(edges: DataFrame) -> float:
+    row = with_weight(edges).agg(F.sum("weight").alias("m")).collect()[0]
+    return float(row["m"] or 0.0)

@@ -1,0 +1,92 @@
+"""Graph coarsening / multilevel plumbing (the Louvain skeleton).
+
+Reference parity:
+ - collapse_graph: contract by membership, edge weight = Σ original,
+   undirected canonicalized via minmax (src/hlpa.jl:299-382,
+   src/MPartition.jl:177-248);
+ - from_coarser_partition!: membership composition
+   (src/AbstractPartition.jl:23-36);
+ - renumber_communities!: dense 1..q ids in decreasing size order
+   (src/AbstractPartition.jl:5-21);
+ - weight-conservation sanity check to 1e-6 (src/MPartition.jl:232-238).
+
+Spark shape: two membership equi-joins + one groupBy(src,dst) sum for
+collapse; one relabel join for projection. The renumber window runs
+over the per-community table (q rows, small after coarsening), never
+over all vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.graph import with_weight
+
+
+def collapse_graph(
+    edges: DataFrame,
+    membership: DataFrame,
+    directed: bool = False,
+    check_conservation: bool = False,
+) -> DataFrame:
+    """Contract the graph by community: one node per community, edge
+    weight = sum of original weights; intra-community edges become
+    self-loops. Undirected output is canonical (src<=dst)."""
+    lbl = membership.columns[1]
+    m = membership.select("id", F.col(lbl).alias("_c"))
+    e = (
+        with_weight(edges)
+        .join(m.withColumnRenamed("id", "src").withColumnRenamed("_c", "cu"), "src")
+        .join(m.withColumnRenamed("id", "dst").withColumnRenamed("_c", "cv"), "dst")
+    )
+    if directed:
+        out = e.groupBy(
+            F.col("cu").alias("src"), F.col("cv").alias("dst")
+        ).agg(F.sum("weight").alias("weight"))
+    else:
+        out = (
+            e.select(
+                F.least("cu", "cv").alias("src"),
+                F.greatest("cu", "cv").alias("dst"),
+                "weight",
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+        )
+    if check_conservation:
+        before = float(with_weight(edges).agg(F.sum("weight")).collect()[0][0] or 0.0)
+        after = float(out.agg(F.sum("weight")).collect()[0][0] or 0.0)
+        assert abs(before - after) < 1e-6, f"weight not conserved: {before} vs {after}"
+    return out
+
+
+def from_coarser_partition(membership: DataFrame, coarser: DataFrame) -> DataFrame:
+    """Compose memberships: fine id → fine comm → coarse comm.
+
+    ``membership`` is (id, comm) on the fine graph; ``coarser`` is
+    (id, comm) on the collapsed graph whose ids are fine communities."""
+    fine_lbl = membership.columns[1]
+    coarse_lbl = coarser.columns[1]
+    c = coarser.select(
+        F.col("id").alias("_fine_comm"), F.col(coarse_lbl).alias("_new")
+    )
+    return (
+        membership.select("id", F.col(fine_lbl).alias("_fine_comm"))
+        .join(F.broadcast(c), "_fine_comm")
+        .select("id", F.col("_new").alias(fine_lbl))
+    )
+
+
+def renumber_communities(membership: DataFrame) -> DataFrame:
+    """Dense 1..q community ids in decreasing size order (ties by old
+    id) — src/AbstractPartition.jl:5-21."""
+    lbl = membership.columns[1]
+    sizes = membership.groupBy(F.col(lbl).alias("_old")).agg(F.count("*").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("_old"))
+    mapping = sizes.select("_old", F.row_number().over(w).cast("long").alias("_new"))
+    return (
+        membership.select("id", F.col(lbl).alias("_old"))
+        .join(F.broadcast(mapping), "_old")
+        .select("id", F.col("_new").alias(lbl))
+    )

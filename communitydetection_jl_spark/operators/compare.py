@@ -1,0 +1,128 @@
+"""Partition-comparison metrics over two membership DataFrames.
+
+Reference parity: nmi / nvoi (src/nmi.jl:2-127); pair-counting metrics
+rand_index / mirkin_metric / jaccard_index (src/metrics.jl:417-450) —
+re-expressed via contingency-table identities (no O(n²) pair loops):
+  a11 = Σ_ij C(n_ij,2), row/col sums give a10/a01/a00.
+
+Spark shape: one join on id + one groupBy(ca,cb) count builds the
+contingency table; entropies/MI are aggregates over it. Entropy uses
+natural log, matching the reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.graph import plogp
+
+
+def contingency(ma: DataFrame, mb: DataFrame) -> DataFrame:
+    """(ca, cb, nij) joint label counts of two memberships on id."""
+    la, lb = ma.columns[1], mb.columns[1]
+    a = ma.select("id", F.col(la).alias("ca"))
+    b = mb.select("id", F.col(lb).alias("cb"))
+    return a.join(b, "id").groupBy("ca", "cb").agg(F.count("*").alias("nij"))
+
+
+def _entropies(ct: DataFrame, n: int) -> tuple[float, float, float]:
+    """Returns (Ha, Hb, Iab) with natural logs; H* are Σ p log p (≤0)."""
+    ha = float(
+        ct.groupBy("ca").agg(F.sum("nij").alias("na"))
+        .agg(F.sum(plogp(F.col("na") / n))).collect()[0][0] or 0.0
+    )
+    hb = float(
+        ct.groupBy("cb").agg(F.sum("nij").alias("nb"))
+        .agg(F.sum(plogp(F.col("nb") / n))).collect()[0][0] or 0.0
+    )
+    row = (
+        ct.join(ct.groupBy("ca").agg(F.sum("nij").alias("na")), "ca")
+        .join(ct.groupBy("cb").agg(F.sum("nij").alias("nb")), "cb")
+        .agg(
+            F.sum(
+                (F.col("nij") / n)
+                * F.log((F.col("nij") / n) / ((F.col("na") / n) * (F.col("nb") / n)))
+            )
+        )
+        .collect()[0]
+    )
+    iab = float(row[0] or 0.0)
+    return ha, hb, iab
+
+
+def nmi(ma: DataFrame, mb: DataFrame) -> float:
+    """Normalized mutual information, -2I/(Ha+Hb) (src/nmi.jl:2-62).
+    Returns 0.0 when both partitions are single-community."""
+    joined = contingency(ma, mb).persist()
+    n = int(joined.agg(F.sum("nij")).collect()[0][0] or 0)
+    if n == 0:
+        joined.unpersist()
+        return 0.0
+    qa = joined.select("ca").distinct().count()
+    qb = joined.select("cb").distinct().count()
+    if qa == 1 and qb == 1:
+        joined.unpersist()
+        return 0.0
+    ha, hb, iab = _entropies(joined, n)
+    joined.unpersist()
+    denom = ha + hb
+    return -2.0 * iab / denom if denom != 0 else 0.0
+
+
+def nvoi(ma: DataFrame, mb: DataFrame) -> float:
+    """Normalized variation of information (src/nmi.jl:65-127):
+    VI = Ha + Hb - 2I (entropies positive), normalized by log(n)."""
+    joined = contingency(ma, mb).persist()
+    n = int(joined.agg(F.sum("nij")).collect()[0][0] or 0)
+    if n == 0:
+        joined.unpersist()
+        return 0.0
+    ha, hb, iab = _entropies(joined, n)
+    joined.unpersist()
+    vi = (-ha) + (-hb) - 2.0 * iab
+    return vi / math.log(n) if n > 1 else 0.0
+
+
+def _pair_counts(ma: DataFrame, mb: DataFrame) -> tuple[int, int, int, int, int]:
+    """Contingency-table pair counts (n, a11, a10, a01, a00)."""
+    ct = contingency(ma, mb).persist()
+    n = int(ct.agg(F.sum("nij")).collect()[0][0] or 0)
+    s_ij = int(ct.agg(F.sum(F.col("nij") * (F.col("nij") - 1) / 2)).collect()[0][0] or 0)
+    s_a = int(
+        ct.groupBy("ca").agg(F.sum("nij").alias("na"))
+        .agg(F.sum(F.col("na") * (F.col("na") - 1) / 2)).collect()[0][0] or 0
+    )
+    s_b = int(
+        ct.groupBy("cb").agg(F.sum("nij").alias("nb"))
+        .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2)).collect()[0][0] or 0
+    )
+    ct.unpersist()
+    total = n * (n - 1) // 2
+    a11 = s_ij
+    a10 = s_a - s_ij
+    a01 = s_b - s_ij
+    a00 = total - a11 - a10 - a01
+    return n, a11, a10, a01, a00
+
+
+def rand_index(ma: DataFrame, mb: DataFrame) -> float:
+    """(a11+a00)/C(n,2) (src/metrics.jl:417-430 semantics)."""
+    n, a11, a10, a01, a00 = _pair_counts(ma, mb)
+    total = n * (n - 1) // 2
+    return (a11 + a00) / total if total else 0.0
+
+
+def jaccard_index(ma: DataFrame, mb: DataFrame) -> float:
+    """a11/(a11+a10+a01)."""
+    _, a11, a10, a01, _ = _pair_counts(ma, mb)
+    denom = a11 + a10 + a01
+    return a11 / denom if denom else 0.0
+
+
+def mirkin_metric(ma: DataFrame, mb: DataFrame) -> float:
+    """2(a10+a01) — the Mirkin pair-disagreement metric."""
+    _, _, a10, a01, _ = _pair_counts(ma, mb)
+    return 2.0 * (a10 + a01)

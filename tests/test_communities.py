@@ -1,0 +1,162 @@
+"""LPA / Louvain / coarsening / comparison metrics on reference fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from communitydetection_jl_spark.operators.coarsen import (
+    collapse_graph,
+    from_coarser_partition,
+    renumber_communities,
+)
+from communitydetection_jl_spark.operators.compare import (
+    jaccard_index,
+    nmi,
+    nvoi,
+    rand_index,
+)
+from communitydetection_jl_spark.operators.louvain import _local_louvain, louvain
+from communitydetection_jl_spark.operators.lpa import lpa, nsdlpa, permute_labels
+from communitydetection_jl_spark.operators.modularity import modularity
+from communitydetection_jl_spark.operators.multilevel import hlpa
+from communitydetection_jl_spark.sources import fixtures as fx
+
+from .oracles import np_nmi
+
+
+def _nmi_vs_truth(labels_df, truth_df):
+    return nmi(labels_df, truth_df)
+
+
+def test_lpa_two_triangles_exact(spark):
+    edges, truth = fx.two_triangles(spark)
+    res = lpa(edges)
+    # the reference's own oracle: NMI == 1.0 vs [1,1,1,2,2,2] (test/runtests.jl:16)
+    assert _nmi_vs_truth(res.labels, truth) == pytest.approx(1.0)
+    # canonical renumbering: labels are exactly 1,1,1,2,2,2 in id order
+    got = [r.comm for r in res.labels.orderBy("id").collect()]
+    assert got == [1, 1, 1, 2, 2, 2]
+
+
+def test_lpa_ring_of_cliques(spark):
+    edges, truth = fx.ring_of_cliques(spark)
+    res = lpa(edges)
+    assert _nmi_vs_truth(res.labels, truth) == pytest.approx(1.0)
+
+
+def test_nsdlpa_two_triangles(spark):
+    edges, truth = fx.two_triangles(spark)
+    res = nsdlpa(edges)
+    assert _nmi_vs_truth(res.labels, truth) == pytest.approx(1.0)
+
+
+def test_lpa_deterministic_across_parallelism(spark):
+    """Same labels regardless of partitioning (the determinism bar)."""
+    edges, _ = fx.gn(spark, k_in=14)
+    r1 = lpa(edges.repartition(2))
+    r2 = lpa(edges.repartition(7))
+    a = {r.id: r.comm for r in r1.labels.collect()}
+    b = {r.id: r.comm for r in r2.labels.collect()}
+    assert a == b
+
+
+def test_permute_labels_first_seen(spark):
+    m = spark.createDataFrame([(1, 7), (2, 7), (3, 3), (4, 9)], "id long, comm long")
+    got = {r.id: r.comm for r in permute_labels(m).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_collapse_conserves_weight_and_projects(spark):
+    edges, truth = fx.ring_of_cliques(spark)
+    coarse = collapse_graph(edges, truth, check_conservation=True)
+    # 4 cliques → 4 supernodes, 4 ring edges + 4 self loops
+    assert coarse.filter(F.col("src") == F.col("dst")).count() == 4
+    assert coarse.filter(F.col("src") != F.col("dst")).count() == 4
+    loops = {r.src: r.weight for r in coarse.filter(F.col("src") == F.col("dst")).collect()}
+    assert all(w == 45.0 for w in loops.values())  # C(10,2) intra edges
+
+    coarse_memb = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2)], "id long, comm long"
+    )
+    fine = from_coarser_partition(truth, coarse_memb)
+    assert fine.select("comm").distinct().count() == 2
+
+
+def test_renumber_by_size(spark):
+    m = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 8), (5, 8), (6, 2)], "id long, comm long"
+    )
+    got = {r.id: r.comm for r in renumber_communities(m).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3}
+
+
+def test_local_louvain_two_triangles():
+    pairs = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (1, 4, 1.0),
+             (4, 5, 1.0), (5, 6, 1.0), (4, 6, 1.0)]
+    comm = _local_louvain(pairs)
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[4] == comm[5] == comm[6]
+    assert comm[1] != comm[4]
+
+
+def test_louvain_two_triangles(spark):
+    edges, truth = fx.two_triangles(spark)
+    res = louvain(edges)
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+    assert res.quality == pytest.approx(12 / 14 - 2 * (7 / 14) ** 2, abs=1e-9)
+
+
+def test_louvain_karate_quality(spark):
+    edges, _ = fx.karate(spark)
+    res = louvain(edges)
+    # canonical Louvain on karate reaches Q ≈ 0.41-0.42
+    assert res.quality > 0.40
+    q = res.membership.select("comm").distinct().count()
+    assert 2 <= q <= 6
+
+
+def test_louvain_distributed_path(spark):
+    """Force the distributed bulk phase (local_threshold=0 keeps it from
+    collecting) and check it still finds the clique structure."""
+    edges, truth = fx.ring_of_cliques(spark)
+    res = louvain(edges, local_threshold=0, max_sweeps=40)
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+
+
+def test_hlpa_ring_of_cliques(spark):
+    edges, truth = fx.ring_of_cliques(spark)
+    res = hlpa(edges)
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+
+
+def test_nmi_matches_numpy_oracle(spark):
+    la = [1, 1, 2, 2, 3, 3, 3]
+    lb = [2, 2, 2, 1, 1, 1, 3]
+    ma = spark.createDataFrame(list(enumerate(la)), "id long, comm long")
+    mb = spark.createDataFrame(list(enumerate(lb)), "id long, comm long")
+    assert nmi(ma, mb) == pytest.approx(np_nmi(la, lb), abs=1e-12)
+    assert nmi(ma, ma) == pytest.approx(1.0)
+    assert 0.0 <= nvoi(ma, mb) <= 1.0
+    assert nvoi(ma, ma) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_pair_counting_metrics(spark):
+    la = [1, 1, 1, 2, 2]
+    lb = [1, 1, 2, 2, 2]
+    ma = spark.createDataFrame(list(enumerate(la)), "id long, comm long")
+    mb = spark.createDataFrame(list(enumerate(lb)), "id long, comm long")
+    # pairs: same-same a11 = pairs (0,1) and (3,4) = 2
+    assert rand_index(ma, mb) == pytest.approx((2 + 4) / 10)
+    assert jaccard_index(ma, mb) == pytest.approx(2 / (2 + 2 + 2))
+    assert rand_index(ma, ma) == pytest.approx(1.0)
+
+
+def test_gn_benchmark_lpa_quality(spark):
+    """On an easy GN graph (k_in=14) LPA should recover communities well."""
+    edges, truth = fx.gn(spark, k_in=14)
+    res = lpa(edges)
+    score = nmi(res.labels, truth)
+    assert score > 0.9
+    q = modularity(edges, res.labels)
+    assert q > 0.5
