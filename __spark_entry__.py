@@ -261,6 +261,42 @@ def q_renumber(spark, sf_dir):
     return renumber_communities(memb)
 
 
+def q_modularity_score(spark, sf_dir):
+    """Scalar modularity of the brand partition of the part graph."""
+    from communitydetection_jl_spark.operators.modularity import modularity
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    q = modularity(e, memb)
+    return spark.createDataFrame([(round(q, 6),)], "q double")
+
+
+def q_nmi_score(spark, sf_dir):
+    """Scalar NMI between the brand and type-prefix partitions."""
+    from communitydetection_jl_spark.operators.compare import nmi
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ma = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    mb = p.select(
+        F.col("p_partkey").alias("id"),
+        F.substring(F.col("p_type"), 1, 6).alias("comm"),
+    )
+    return spark.createDataFrame([(round(nmi(ma, mb), 6),)], "nmi double")
+
+
+def q_community_metrics(spark, sf_dir):
+    from communitydetection_jl_spark.operators.community_metrics import community_metrics
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    out = community_metrics(e, memb).select(
+        "comm", "ns", "ms", "cs", "conductance", "expansion", "separability"
+    )
+    return _r6(out, "conductance", "expansion", "separability")
+
+
 # ------------- training-data pipeline queries (documents/embeddings) ----
 
 def q_exact_dup_groups(spark, sf_dir):
@@ -354,6 +390,44 @@ def q_lsh_near_vectors(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
 
 
+def q_slpa(spark, sf_dir):
+    from communitydetection_jl_spark.operators.slpa import slpa
+
+    return slpa(_part_edges(spark, sf_dir), iterations=10).membership
+
+
+def q_hlpa(spark, sf_dir):
+    from communitydetection_jl_spark.operators.multilevel import hlpa
+
+    return hlpa(_part_edges(spark, sf_dir), max_levels=4).membership
+
+
+def q_map_equation(spark, sf_dir):
+    from communitydetection_jl_spark.operators.objectives import map_equation
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    return spark.createDataFrame([(round(map_equation(e, memb), 6),)], "codelength double")
+
+
+def q_lang_prf(spark, sf_dir):
+    """Per-class precision/recall/F1 of the heuristic language-id vs the
+    documents table's lang column."""
+    from communitydetection_jl_spark.operators.classification import per_class_prf
+    from communitydetection_jl_spark.operators.textstats import language_id
+
+    docs = _docs(spark, sf_dir)
+    truth = docs.select(F.col("doc_id").alias("id"), F.col("lang").alias("comm"))
+    pred = language_id(docs).select("id", F.col("pred_lang").alias("comm"))
+    return _r6(
+        per_class_prf(truth, pred).select(
+            "label", "tp", "fp", "fn", "precision", "recall", "f_beta"
+        ),
+        "precision", "recall", "f_beta",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": q_degrees,
@@ -370,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ms_cs": q_ns_ms_cs,
         "contingency": q_contingency,
         "renumber": q_renumber,
+        "modularity_score": q_modularity_score,
+        "nmi_score": q_nmi_score,
+        "community_metrics": q_community_metrics,
         "exact_dup_groups": q_exact_dup_groups,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -383,6 +460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_near_vectors": q_lsh_near_vectors,
+        "slpa": q_slpa,
+        "hlpa": q_hlpa,
+        "map_equation": q_map_equation,
+        "lang_prf": q_lang_prf,
     }
 
 
@@ -533,6 +614,51 @@ def oracle_sql() -> dict[str, str]:
                        FROM sizes)
             SELECT m.id, CAST(ranked.newc AS BIGINT) AS comm
             FROM m JOIN ranked ON m.comm = ranked.comm
+        """,
+        "modularity_score": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            m AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+            j AS (SELECT ma.comm AS cs, mb.comm AS cd, e.weight
+                  FROM e JOIN m ma ON e.src = ma.id JOIN m mb ON e.dst = mb.id),
+            mm AS (SELECT SUM(weight) AS m FROM j),
+            ec AS (SELECT cs AS comm, SUM(2 * weight) AS e_c FROM j WHERE cs = cd GROUP BY 1),
+            ac AS (SELECT comm, SUM(weight) AS a_c FROM
+                     (SELECT cs AS comm, weight FROM j
+                      UNION ALL SELECT cd AS comm, weight FROM j) GROUP BY 1)
+            SELECT ROUND(SUM(COALESCE(ec.e_c, 0.0) / (2 * mm.m)
+                             - (ac.a_c / (2 * mm.m)) * (ac.a_c / (2 * mm.m))), 6) AS q
+            FROM ac LEFT JOIN ec ON ac.comm = ec.comm, mm
+        """,
+        "nmi_score": """
+            WITH ct AS (SELECT p_brand AS ca, SUBSTRING(p_type, 1, 6) AS cb,
+                               COUNT(*) AS nij FROM part GROUP BY 1, 2),
+            n AS (SELECT CAST(SUM(nij) AS DOUBLE) AS n FROM ct),
+            na AS (SELECT ca, SUM(nij) AS c FROM ct GROUP BY 1),
+            nb AS (SELECT cb, SUM(nij) AS c FROM ct GROUP BY 1),
+            ha AS (SELECT SUM((na.c / n.n) * LN(na.c / n.n)) AS h FROM na, n),
+            hb AS (SELECT SUM((nb.c / n.n) * LN(nb.c / n.n)) AS h FROM nb, n),
+            iab AS (SELECT SUM((ct.nij / n.n) *
+                               LN((ct.nij / n.n) / ((na.c / n.n) * (nb.c / n.n)))) AS i
+                    FROM ct JOIN na USING (ca) JOIN nb USING (cb), n)
+            SELECT ROUND(-2.0 * iab.i / (ha.h + hb.h), 6) AS nmi FROM iab, ha, hb
+        """,
+        "community_metrics": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            m AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+            j AS (SELECT ma.comm AS cs, mb.comm AS cd
+                  FROM e JOIN m ma ON e.src = ma.id JOIN m mb ON e.dst = mb.id),
+            ms AS (SELECT cs AS comm, COUNT(*) AS ms FROM j WHERE cs = cd GROUP BY 1),
+            cs AS (SELECT comm, COUNT(*) AS cs FROM
+                     (SELECT cs AS comm FROM j WHERE cs <> cd
+                      UNION ALL SELECT cd AS comm FROM j WHERE cs <> cd) GROUP BY 1),
+            ns AS (SELECT comm, COUNT(*) AS ns FROM m GROUP BY 1),
+            k AS (SELECT ns.comm, ns.ns, COALESCE(ms.ms, 0) AS ms, COALESCE(cs.cs, 0) AS cs
+                  FROM ns LEFT JOIN ms ON ns.comm = ms.comm LEFT JOIN cs ON ns.comm = cs.comm)
+            SELECT comm, ns, ms, cs,
+                   ROUND(CASE WHEN 2 * ms + cs <> 0 THEN CAST(cs AS DOUBLE) / (2 * ms + cs) END, 6) AS conductance,
+                   ROUND(CASE WHEN ns <> 0 THEN CAST(cs AS DOUBLE) / ns END, 6) AS expansion,
+                   ROUND(CASE WHEN cs <> 0 THEN CAST(ms AS DOUBLE) / cs END, 6) AS separability
+            FROM k
         """,
         "exact_dup_groups": r"""
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

@@ -1,0 +1,119 @@
+"""Classification metrics over (truth, predicted) label DataFrames.
+
+The reference delegates these to sklearn via PyCall
+(src/metrics.jl:452-515); here they are contingency-table aggregates —
+fully distributed, no Python in the hot path. All operate on two
+memberships joined on id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .compare import contingency, nmi, _pair_counts
+
+
+def accuracy(truth: DataFrame, pred: DataFrame) -> float:
+    """Fraction of ids with identical labels."""
+    lt, lp = truth.columns[1], pred.columns[1]
+    j = truth.select("id", F.col(lt).alias("t")).join(
+        pred.select("id", F.col(lp).alias("p")), "id"
+    )
+    n = j.count()
+    return j.filter(F.col("t") == F.col("p")).count() / n if n else 0.0
+
+
+def hamming_loss(truth: DataFrame, pred: DataFrame) -> float:
+    return 1.0 - accuracy(truth, pred)
+
+
+def per_class_prf(truth: DataFrame, pred: DataFrame, beta: float = 1.0) -> DataFrame:
+    """(label, tp, fp, fn, precision, recall, f_beta) per class — the
+    classification_report surface."""
+    ct = contingency(truth, pred)  # (ca=true, cb=pred, nij)
+    tp = ct.filter(F.col("ca") == F.col("cb")).select(
+        F.col("ca").alias("label"), F.col("nij").alias("tp")
+    )
+    truth_tot = ct.groupBy(F.col("ca").alias("label")).agg(F.sum("nij").alias("support"))
+    pred_tot = ct.groupBy(F.col("cb").alias("label")).agg(F.sum("nij").alias("predicted"))
+    b2 = beta * beta
+    out = (
+        truth_tot.join(pred_tot, "label", "outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("predicted", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("support", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fn"),
+            F.coalesce("support", F.lit(0)).alias("support"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    return out.select(
+        "label", "tp", "fp", "fn", "support",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            (b2 * prec + rec) > 0, (1 + b2) * prec * rec / (b2 * prec + rec)
+        ).otherwise(F.lit(0.0)).alias("f_beta"),
+    )
+
+
+def f1_score(truth: DataFrame, pred: DataFrame, average: str = "macro") -> float:
+    prf = per_class_prf(truth, pred)
+    if average == "macro":
+        return float(prf.agg(F.avg("f_beta")).collect()[0][0] or 0.0)
+    if average == "weighted":
+        row = prf.agg(
+            (F.sum(F.col("f_beta") * F.col("support")) / F.sum("support"))
+        ).collect()[0]
+        return float(row[0] or 0.0)
+    if average == "micro":
+        row = prf.agg(F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")).collect()[0]
+        denom = 2 * row.tp + row.fp + row.fn
+        return 2 * row.tp / denom if denom else 0.0
+    raise ValueError(average)
+
+
+def confusion_matrix(truth: DataFrame, pred: DataFrame) -> DataFrame:
+    """(true_label, pred_label, n) — sparse confusion matrix."""
+    return contingency(truth, pred).select(
+        F.col("ca").alias("true_label"), F.col("cb").alias("pred_label"),
+        F.col("nij").alias("n"),
+    )
+
+
+def adjusted_rand_index(truth: DataFrame, pred: DataFrame) -> float:
+    """ARI from pair counts (the sklearn-delegate's formula,
+    permutation-model expectation correction)."""
+    n, a11, a10, a01, a00 = _pair_counts(truth, pred)
+    total = n * (n - 1) / 2
+    if total == 0:
+        return 0.0
+    sum_a = a11 + a10  # Σ C(n_a,2)
+    sum_b = a11 + a01
+    expected = sum_a * sum_b / total
+    max_index = (sum_a + sum_b) / 2
+    if max_index == expected:
+        return 0.0
+    return (a11 - expected) / (max_index - expected)
+
+
+def mutual_info_score(truth: DataFrame, pred: DataFrame) -> float:
+    """Raw mutual information in nats."""
+    from .compare import _entropies
+
+    ct = contingency(truth, pred).persist()
+    n = int(ct.agg(F.sum("nij")).collect()[0][0] or 0)
+    if n == 0:
+        ct.unpersist()
+        return 0.0
+    _, _, iab = _entropies(ct, n)
+    ct.unpersist()
+    return iab
+
+
+def normalized_mutual_info_score(truth: DataFrame, pred: DataFrame) -> float:
+    return nmi(truth, pred)

@@ -126,3 +126,65 @@ def mirkin_metric(ma: DataFrame, mb: DataFrame) -> float:
     """2(a10+a01) — the Mirkin pair-disagreement metric."""
     _, _, a10, a01, _ = _pair_counts(ma, mb)
     return 2.0 * (a10 + a01)
+
+
+def partition_entropy(membership: DataFrame) -> float:
+    """Entropy (natural log, positive) of the community-size
+    distribution (src/utils.jl:55-91)."""
+    lbl = membership.columns[1]
+    sizes = membership.groupBy(F.col(lbl)).agg(F.count("*").alias("c"))
+    n = int(sizes.agg(F.sum("c")).collect()[0][0] or 0)
+    if n == 0:
+        return 0.0
+    s = float(sizes.agg(F.sum(plogp(F.col("c") / n))).collect()[0][0] or 0.0)
+    return -s
+
+
+def fvcc(membership: DataFrame, truth: DataFrame) -> float:
+    """Newman's fraction of vertices correctly classified (GN benchmark
+    scorer, src/girwan_newman_benchmark.jl:41-93): map each found
+    community to its plurality ground-truth community; a vertex is
+    correct if its truth label equals its community's plurality label;
+    communities that are not the plurality owner of any truth group
+    still score by their members' match."""
+    la, lb = membership.columns[1], truth.columns[1]
+    a = membership.select("id", F.col(la).alias("found"))
+    b = truth.select("id", F.col(lb).alias("truth"))
+    joined = a.join(b, "id")
+    plur = (
+        joined.groupBy("found", "truth").agg(F.count("*").alias("c"))
+        .groupBy("found")
+        .agg(F.max_by("truth", F.struct(F.col("c"), (-F.col("truth")).alias("nt"))).alias("plurality"))
+    )
+    n = joined.count()
+    correct = (
+        joined.join(plur, "found")
+        .filter(F.col("truth") == F.col("plurality"))
+        .count()
+    )
+    return correct / n if n else 0.0
+
+
+def rnmi(ma: DataFrame, mb: DataFrame, n_shuffles: int = 10, seed: int = 42) -> float:
+    """NMI corrected by the mean NMI of label-shuffled partitions
+    (src/nmi.jl:194-213): rnmi = nmi(a,b) − mean_k nmi(shuffle_k(a), b).
+    Shuffles are deterministic: labels reassigned by rank of
+    xxhash64(id, k)."""
+    from pyspark.sql import Window as W
+
+    base = nmi(ma, mb)
+    la = ma.columns[1]
+    n = ma.count()
+    mean_rand = 0.0
+    labels_in_order = [
+        r.l for r in ma.select(F.col(la).alias("l")).collect()
+    ]
+    for k in range(n_shuffles):
+        w = W.orderBy(F.xxhash64("id", F.lit(k), F.lit(seed)))
+        shuffled = ma.select("id").withColumn("rn", F.row_number().over(w))
+        perm = ma.sparkSession.createDataFrame(
+            [(i + 1, int(labels_in_order[i])) for i in range(n)], "rn int, comm long"
+        )
+        shuf = shuffled.join(perm, "rn").select("id", "comm")
+        mean_rand += nmi(shuf, mb)
+    return base - mean_rand / n_shuffles

@@ -169,51 +169,52 @@ def _move_sweep(edges: DataFrame, memb: DataFrame, strengths: DataFrame,
             F.max(F.col("score")).alias("best_score"),
         )
     )
+    new_c = (
+        F.when(
+            (F.col("best_score") - F.coalesce("base", F.lit(0.0)) > eps)
+            & (F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(parity)),
+            F.col("best_c"),
+        )
+        .otherwise(F.col("c"))
+    )
     upd = (
         mm.join(best, "id", "left")
         .join(base, "id", "left")
-        .select(
-            "id",
-            F.when(
-                (F.col("best_score") - F.coalesce("base", F.lit(0.0)) > eps)
-                & (F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(parity)),
-                F.col("best_c"),
-            )
-            .otherwise(F.col("c"))
-            .alias("comm"),
-        )
+        .select("id", new_c.alias("comm"), (new_c != F.col("c")).alias("moved"))
     )
     return upd
 
 
 def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
-                       ledger=None, level: int = 0) -> DataFrame:
-    """Run bulk move sweeps on one level until no vertex moves."""
+                       move_floor: float = 0.01, ledger=None,
+                       level: int = 0) -> DataFrame:
+    """Run bulk move sweeps on one level until (nearly) no vertex moves.
+
+    ``move_floor`` is the reference's δ move floor (src/Optimiser.jl:148):
+    stop once fewer than δ·n vertices move in a full parity pair —
+    residual moves are polished by later levels / the local phase."""
     verts = vertices_of(edges)
     memb = verts.select("id", F.col("id").alias("comm")).localCheckpoint(eager=True)
+    n = memb.count()
     strengths = _strengths(edges).persist()
     m = float(with_weight(edges).agg(F.sum("weight")).collect()[0][0] or 0.0)
     if m <= 0:
         strengths.unpersist()
         return memb
-    zero_streak = 0
+    low_streak = 0
     for sweep in range(max_sweeps):
-        new_memb = _move_sweep(edges, memb, strengths, m, sweep % 2, eps)
-        new_memb = new_memb.localCheckpoint(eager=True)
-        moved = (
-            new_memb.join(memb.withColumnRenamed("comm", "old"), "id")
-            .filter(F.col("comm") != F.col("old"))
-            .count()
-        )
-        memb = new_memb
+        stepped = _move_sweep(edges, memb, strengths, m, sweep % 2, eps)
+        stepped = stepped.localCheckpoint(eager=True)
+        moved = stepped.filter(F.col("moved")).count()
+        memb = stepped.select("id", "comm")
         if ledger is not None:
             ledger.record(sweep, {"level": level, "moved": moved})
-        if moved == 0:
-            zero_streak += 1
-            if zero_streak >= 2:
+        if moved <= move_floor * n:
+            low_streak += 1
+            if low_streak >= 2:  # both parities quiet
                 break
         else:
-            zero_streak = 0
+            low_streak = 0
     strengths.unpersist()
     return memb
 
@@ -229,9 +230,10 @@ class LouvainResult:
 def louvain(
     edges: DataFrame,
     eps: float = 1e-7,
-    local_threshold: int = 100_000,
+    local_threshold: int = 300_000,
     max_levels: int = 20,
     max_sweeps: int = 30,
+    move_floor: float = 0.01,
     ledger=None,
 ) -> LouvainResult:
     """Modularity-optimizing community detection over an undirected edge
@@ -257,7 +259,8 @@ def louvain(
             levels += 1
             history.append({"level": level, "edges": m_edges, "mode": "local"})
             break
-        lvl = _distributed_level(cur_edges, eps, max_sweeps, ledger=ledger, level=level)
+        lvl = _distributed_level(cur_edges, eps, max_sweeps,
+                                 move_floor=move_floor, ledger=ledger, level=level)
         n_before = lvl.count()
         n_after = lvl.select("comm").distinct().count()
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)

@@ -85,7 +85,11 @@ def lpa_superstep(
         new_lbl = F.when(
             F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(active_parity), new_lbl
         ).otherwise(F.col("cur_lbl"))
-    return upd.select("id", new_lbl.alias("lbl"))
+    # carry the change flag so the driver loop can count convergence from
+    # the checkpointed output without a second join
+    return upd.select(
+        "id", new_lbl.alias("lbl"), (new_lbl != F.col("cur_lbl")).alias("changed")
+    )
 
 
 def _vote_edges(edges: DataFrame, weighted: bool, cn_bonus: bool) -> DataFrame:
@@ -133,15 +137,11 @@ def label_propagation(
     while it < max_iter:
         parity = it % 2 if semi_sync else None
         it += 1
-        new_labels = lpa_superstep(
+        stepped = lpa_superstep(
             sym, labels, weighted=weighted, sticky=sticky, active_parity=parity
-        ).repartition("id").localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "id")
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        ).localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("changed")).count()
+        labels = stepped.select("id", "lbl")
         changed_history.append(changed)
         if ledger is not None:
             ledger.record(it, {"changed": changed})

@@ -94,11 +94,17 @@ def pagerank(
     it = start_iter
     while delta > tol and it < max_iter:
         it += 1
+        # one materializing job per iteration: the dangling-mass scalar is a
+        # broadcast 1-row aggregate fused into the same plan (no separate
+        # collect), and the L1-delta aggregation runs over the checkpointed
+        # result (cheap second action, no recompute).
         if has_dangling:
-            row = ranks.join(dangling, "id", "left_semi").agg(F.sum("p")).collect()[0]
-            dp = damping * float(row[0] or 0.0) / n
+            dang_sum = (
+                ranks.join(dangling, "id", "left_semi")
+                .agg(F.coalesce(F.sum("p"), F.lit(0.0)).alias("_ds"))
+            )
         else:
-            dp = 0.0
+            dang_sum = spark.createDataFrame([(0.0,)], "_ds double")
         msgs = (
             arcs.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -106,14 +112,15 @@ def pagerank(
         )
         new_ranks = (
             verts.join(msgs, "id", "left")
+            .crossJoin(F.broadcast(dang_sum))
             .select(
                 "id",
                 (
-                    F.lit(dp + tau / n)
+                    F.lit(tau / n)
+                    + F.lit(damping) * F.col("_ds") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce("msg", F.lit(0.0))
                 ).alias("p"),
             )
-            .repartition("id")
             .localCheckpoint(eager=True)
         )
         delta = float(

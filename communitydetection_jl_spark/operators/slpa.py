@@ -1,0 +1,148 @@
+"""SLPA — speaker-listener label propagation (overlapping communities).
+
+Reference parity: src/slpa.jl:23-120 — per iteration every neighbor
+*speaks* one label sampled from its memory proportional to count, the
+listener adopts the most frequent spoken label (maxvote) and appends it
+to its own memory; after ``iterations`` rounds, labels seen less than
+r·|memory| times are dropped (post_processing!, src/slpa.jl:124-141);
+remaining label sets are the overlapping cover (getgrp,
+src/utils.jl:38-50).
+
+Spark shape — memory kept as an *exploded* table (id, label, cnt)
+rather than a MapType column, so speaking/sampling/appending are joins
++ windows, all JVM-side:
+
+  speak:   sym_edges ⋈ memory(speaker) → per (listener, speaker) pick
+           the label whose count-cumsum crosses a deterministic
+           pseudo-uniform u = hash(listener, speaker, iter)/2^63 —
+           inverse-CDF sampling as a window expression;
+  listen:  groupBy(listener, label) count → argmax with deterministic
+           hash tie-break (the reference breaks ties randomly,
+           src/slpa.jl:5-15);
+  append:  union + groupBy sum.
+
+Randomness is fully seeded (iteration-indexed hashes), so runs are
+reproducible and resumable (north-rule determinism).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.graph import symmetrize, vertices_of, with_weight
+
+
+@dataclass
+class SLPAResult:
+    memory: DataFrame  # (id, label, cnt) after post-processing
+    cover: DataFrame   # (label, members: array<long>)
+    membership: DataFrame  # hard assignment: (id, comm) = argmax label
+    iterations: int
+    history: list = field(default_factory=list)
+
+
+def _speak(sym: DataFrame, memory: DataFrame, iteration: int, seed: int) -> DataFrame:
+    """One spoken label per (listener, speaker) edge: inverse-CDF sample
+    from the speaker's memory, deterministic in (edge, iteration)."""
+    spoken = sym.join(memory.withColumnRenamed("id", "dst"), "dst").select(
+        F.col("src").alias("listener"),
+        F.col("dst").alias("speaker"),
+        "label",
+        "cnt",
+    )
+    w = W.partitionBy("listener", "speaker").orderBy("label")
+    wall = W.partitionBy("listener", "speaker")
+    u = (
+        F.pmod(
+            F.xxhash64(
+                F.col("listener"), F.col("speaker"), F.lit(iteration), F.lit(seed)
+            ),
+            F.lit(1_000_000_007),
+        )
+        / F.lit(1_000_000_007.0)
+    )
+    scored = spoken.select(
+        "listener", "speaker", "label",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+        u.alias("u"),
+    )
+    # first label whose cumulative count exceeds u*total
+    picked = scored.filter(F.col("cum") > F.col("u") * F.col("total"))
+    w2 = W.partitionBy("listener", "speaker").orderBy("cum", "label")
+    return (
+        picked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("listener", "label")
+    )
+
+
+def _listen(spoken: DataFrame, iteration: int, seed: int) -> DataFrame:
+    """maxvote: most frequent spoken label per listener, hash tie-break
+    (reference picks uniformly among ties, src/slpa.jl:5-15)."""
+    counts = spoken.groupBy("listener", "label").agg(F.count("*").alias("c"))
+    tie = F.xxhash64(F.col("listener"), F.col("label"), F.lit(iteration), F.lit(seed))
+    return counts.groupBy(F.col("listener").alias("id")).agg(
+        F.max_by("label", F.struct(F.col("c"), tie.alias("t"))).alias("label")
+    )
+
+
+def slpa(
+    edges: DataFrame,
+    iterations: int = 20,
+    r: float = 0.1,
+    seed: int = 42,
+    ledger=None,
+) -> SLPAResult:
+    """Run SLPA for a fixed number of rounds (reference default 20,
+    src/slpa.jl:81-120), post-process with threshold ``r``."""
+    sym = (
+        symmetrize(with_weight(edges))
+        .select("src", "dst")
+        .repartition("dst")
+        .persist()
+    )
+    sym.count()
+    verts = vertices_of(edges)
+    memory = verts.select(
+        "id", F.col("id").alias("label"), F.lit(1).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
+
+    history = []
+    for it in range(1, iterations + 1):
+        spoken = _speak(sym, memory, it, seed)
+        adopted = _listen(spoken, it, seed)
+        memory = (
+            memory.unionByName(adopted.withColumn("cnt", F.lit(1).cast("long")))
+            .groupBy("id", "label")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        if ledger is not None:
+            ledger.record(it, {"memory_rows": memory.count()})
+            ledger.maybe_snapshot("slpa_memory", it, memory)
+        history.append(it)
+
+    # post-processing: drop labels below r * total memory size; if a node
+    # loses everything keep its argmax label (src/slpa.jl:124-141)
+    wtot = W.partitionBy("id")
+    scored = memory.select(
+        "id", "label", "cnt", (F.sum("cnt").over(wtot)).alias("total")
+    )
+    kept = scored.filter(F.col("cnt") >= F.lit(r) * F.col("total"))
+    argmax = memory.groupBy("id").agg(
+        F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("label"),
+        F.max("cnt").alias("cnt"),
+    )
+    emptied = argmax.join(kept.select("id").distinct(), "id", "left_anti").select(
+        "id", "label", "cnt"
+    )
+    final_mem = kept.select("id", "label", "cnt").unionByName(emptied)
+
+    cover = final_mem.groupBy("label").agg(F.sort_array(F.collect_list("id")).alias("members"))
+    membership = argmax.select("id", F.col("label").alias("comm"))
+    sym.unpersist()
+    return SLPAResult(final_mem, cover, membership, iterations, history)

@@ -1,0 +1,183 @@
+"""SLPA, objectives, readers, streaming, extended comparison metrics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from communitydetection_jl_spark.operators.compare import (
+    fvcc,
+    nmi,
+    partition_entropy,
+)
+from communitydetection_jl_spark.operators.modularity import modularity
+from communitydetection_jl_spark.operators.objectives import (
+    cpm_quality,
+    map_equation,
+    modularity_density,
+    rb_configuration_quality,
+    rber_quality,
+    significance_quality,
+    surprise_quality,
+)
+from communitydetection_jl_spark.operators.slpa import slpa
+from communitydetection_jl_spark.sources import fixtures as fx
+from communitydetection_jl_spark.sources.readers import (
+    gen_lnd,
+    grp_to_membership,
+    membership_to_grp,
+    read_grp,
+    read_msp,
+    write_grp,
+    write_msp,
+)
+
+
+def test_slpa_ring_of_cliques(spark):
+    edges, truth = fx.ring_of_cliques(spark)
+    res = slpa(edges, iterations=20, r=0.3)
+    # hard argmax assignment recovers the cliques
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+    assert res.membership.count() == 40
+    labels = {r.label for r in res.cover.collect()}
+    assert labels.issubset(set(range(1, 41)))
+
+
+def test_slpa_deterministic(spark):
+    edges, _ = fx.ring_of_cliques(spark)
+    a = {(r.id, r.comm) for r in slpa(edges, iterations=10).membership.collect()}
+    b = {(r.id, r.comm) for r in slpa(edges, iterations=10).membership.collect()}
+    assert a == b
+
+
+def test_objectives_on_ring_of_cliques(spark):
+    edges, truth = fx.ring_of_cliques(spark)
+    n_all_one = truth.select("id", F.lit(1).cast("long").alias("comm"))
+    # true split beats the trivial single community for every objective
+    assert cpm_quality(edges, truth) > cpm_quality(edges, n_all_one)
+    assert rb_configuration_quality(edges, truth) > rb_configuration_quality(edges, n_all_one)
+    assert rber_quality(edges, truth) > rber_quality(edges, n_all_one)
+    assert significance_quality(edges, truth) > significance_quality(edges, n_all_one)
+    assert surprise_quality(edges, truth) > surprise_quality(edges, n_all_one)
+    # map equation: LOWER codelength is better
+    assert map_equation(edges, truth) < map_equation(
+        edges, truth.select("id", F.col("id").alias("comm"))
+    )
+    assert modularity_density(edges, truth) > modularity_density(edges, n_all_one)
+
+
+def test_rbconfig_gamma1_equals_modularity(spark):
+    edges, truth = fx.two_triangles(spark)
+    assert rb_configuration_quality(edges, truth, gamma=1.0) == pytest.approx(
+        modularity(edges, truth), abs=1e-9
+    )
+
+
+def test_map_equation_singletons_value(spark):
+    """Singleton partition: q_c = p_c per vertex; check against a direct
+    NumPy evaluation of the formula."""
+    edges, _ = fx.two_triangles(spark)
+    singles = spark.createDataFrame([(i, i) for i in range(1, 7)], "id long, comm long")
+    # degrees: 1:3 2:2 3:2 4:3 5:2 6:2, 2m=14
+    p = [3, 2, 2, 3, 2, 2]
+    pv = [x / 14 for x in p]
+    plogp = lambda x: x * math.log(x) if x > 0 else 0.0
+    sum_q = sum(pv)
+    expected = (
+        plogp(sum_q) - 2 * sum(plogp(q) for q in pv) - sum(plogp(x) for x in pv)
+        + sum(plogp(2 * x) for x in pv)
+    )
+    assert map_equation(edges, singles) == pytest.approx(expected, abs=1e-9)
+
+
+def test_fvcc_and_entropy(spark):
+    edges, truth = fx.ring_of_cliques(spark)
+    assert fvcc(truth, truth) == pytest.approx(1.0)
+    shifted = truth.select("id", (F.col("comm") + 10).alias("comm"))
+    assert fvcc(shifted, truth) == pytest.approx(1.0)  # label-invariant
+    assert partition_entropy(truth) == pytest.approx(math.log(4), abs=1e-9)
+
+
+def test_readers_roundtrip(spark, tmp_path):
+    groups = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [4, 5, 6, 7])], "grp long, members array<long>"
+    )
+    p = str(tmp_path / "grp")
+    write_grp(groups, p)
+    back = read_grp(spark, p)
+    got = {tuple(r.members) for r in back.collect()}
+    assert got == {(1, 2, 3), (4, 5, 6, 7)}
+
+    msp = spark.createDataFrame(
+        [(1, [10, 20]), (2, [10])], "id long, labels array<long>"
+    )
+    p2 = str(tmp_path / "msp")
+    write_msp(msp, p2)
+    back2 = {r.id: list(r.labels) for r in read_msp(spark, p2).collect()}
+    assert back2 == {1: [10, 20], 2: [10]}
+
+
+def test_grp_membership_conversions(spark):
+    groups = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [3, 4, 5, 6])], "grp long, members array<long>"
+    )
+    hard = {r.id: r.comm for r in grp_to_membership(groups).collect()}
+    assert hard[3] == 2  # overlap resolved to the larger group
+    assert hard[1] == 1 and hard[4] == 2
+    over = {r.id: list(r.labels) for r in grp_to_membership(groups, overlapping=True).collect()}
+    assert over[3] == [1, 2]
+    back = membership_to_grp(grp_to_membership(groups))
+    assert {tuple(r.members) for r in back.collect()} == {(1, 2), (3, 4, 5, 6)}
+
+
+def test_gen_lnd(spark, tmp_path):
+    edges, _ = fx.two_triangles(spark)
+    p = str(tmp_path / "lnd")
+    gen_lnd(edges, p)
+    lines = [r.value for r in spark.read.text(p).collect()]
+    assert len(lines) == 7
+    assert all(len(l.split()) == 4 and l.split()[1] == "+" for l in lines)
+
+
+def test_streaming_edge_ingest(spark, tmp_path):
+    from communitydetection_jl_spark.sources.pages import synth_pages
+    from communitydetection_jl_spark.streaming.ingest import (
+        edges_snapshot,
+        incremental_edge_ingest,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    synth_pages(spark, n_pages=120, n_hosts=12).write.parquet(pages_dir)
+    q = incremental_edge_ingest(
+        spark, pages_dir, str(tmp_path / "edges"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    snap = edges_snapshot(spark, str(tmp_path / "edges"))
+    assert snap.count() > 0
+    assert snap.filter(F.col("src") == F.col("dst")).count() == 0
+    # restart with no new files → no duplicate appends (exactly-once)
+    n1 = snap.count()
+    q2 = incremental_edge_ingest(
+        spark, pages_dir, str(tmp_path / "edges"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert edges_snapshot(spark, str(tmp_path / "edges")).count() == n1
+
+
+def test_streaming_link_rate(spark, tmp_path):
+    from communitydetection_jl_spark.sources.pages import synth_pages
+    from communitydetection_jl_spark.streaming.ingest import link_rate, stream_pages
+
+    pages_dir = str(tmp_path / "pages2")
+    synth_pages(spark, n_pages=80, n_hosts=8).write.parquet(pages_dir)
+    agg = link_rate(stream_pages(spark, pages_dir))
+    q = (
+        agg.writeStream.format("memory").queryName("rates")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with a bounded
+    # synthetic ts range most windows close — just require the query ran
+    assert spark.sql("SELECT * FROM rates").columns == ["window", "host", "outlinks", "pages"]
