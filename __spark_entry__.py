@@ -390,6 +390,13 @@ def q_lsh_near_vectors(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
 
 
+def q_lpa_shard_async(spark, sf_dir):
+    """Reference-semantics (async within shard) LPA."""
+    from communitydetection_jl_spark.operators.lpa_async import lpa_async
+
+    return lpa_async(_part_edges(spark, sf_dir), n_shards=8, max_rounds=20).labels
+
+
 def q_slpa(spark, sf_dir):
     from communitydetection_jl_spark.operators.slpa import slpa
 
@@ -460,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_near_vectors": q_lsh_near_vectors,
+        "lpa_shard_async": q_lpa_shard_async,
         "slpa": q_slpa,
         "hlpa": q_hlpa,
         "map_equation": q_map_equation,
