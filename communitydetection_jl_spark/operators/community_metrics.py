@@ -95,6 +95,29 @@ def community_metrics(edges: DataFrame, membership: DataFrame) -> DataFrame:
     )
 
 
+def min_conductance(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Minimum conductance per community-size bucket
+    (src/metrics.jl:53-90): (ns, min_cond) for each distinct community
+    size."""
+    k = ns_ms_cs(edges, membership)
+    cond = k.select(
+        "ns",
+        F.when(
+            2 * F.col("ms") + F.col("cs") != 0,
+            F.col("cs") / (2 * F.col("ms") + F.col("cs")),
+        ).alias("c"),
+    )
+    return cond.groupBy("ns").agg(F.min("c").alias("min_conductance"))
+
+
+def graph_triangle_participation_ratio(edges: DataFrame) -> float:
+    """Graph-level fraction of vertices in ≥1 triangle
+    (src/metrics.jl:221-229)."""
+    tp = triangle_participation(edges)
+    row = tp.agg(F.avg(F.col("in_triangle").cast("double"))).collect()[0]
+    return float(row[0] or 0.0)
+
+
 def coverage(edges: DataFrame, membership: DataFrame) -> float:
     """Σ ms / m (src/metrics.jl:123-126)."""
     k = ns_ms_cs(edges, membership)

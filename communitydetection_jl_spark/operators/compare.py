@@ -165,6 +165,54 @@ def fvcc(membership: DataFrame, truth: DataFrame) -> float:
     return correct / n if n else 0.0
 
 
+def overlap_nmi(cover_a: list[list[int]], cover_b: list[list[int]], n: int | None = None) -> float:
+    """LFK cover-NMI for overlapping communities (src/overlapnmi.jl:7-43
+    semantics, re-derived from Lancichinetti-Fortunato-Kertész 2009).
+
+    Driver-local (NumPy) on collected covers — covers are final,
+    small artifacts; the reference likewise computes comparison metrics
+    out-of-band. Returns 1 - 0.5*(H(A|B)/H(A) + H(B|A)/H(B))."""
+    import math as _m
+
+    if not cover_a or not cover_b:
+        return 0.0
+    universe = set()
+    for g in cover_a:
+        universe.update(g)
+    for g in cover_b:
+        universe.update(g)
+    n = n or len(universe)
+
+    def h(p):
+        return -p * _m.log(p) if p > 0 else 0.0
+
+    def h_x_given_y(ca, cb):
+        total = 0.0
+        denom = 0.0
+        for ga in ca:
+            sa = set(ga)
+            pa = len(sa) / n
+            hx = h(pa) + h(1 - pa)
+            denom += hx
+            best = None
+            for gb in cb:
+                sb = set(gb)
+                pb = len(sb) / n
+                p11 = len(sa & sb) / n
+                p10 = len(sa - sb) / n
+                p01 = len(sb - sa) / n
+                p00 = 1 - p11 - p10 - p01
+                # LFK constraint: only accept if informative
+                if h(p11) + h(p00) >= h(p01) + h(p10):
+                    hxy = (h(p11) + h(p10) + h(p01) + h(p00)) - (h(pb) + h(1 - pb))
+                    if best is None or hxy < best:
+                        best = hxy
+            total += hx if best is None else min(best, hx)
+        return (total / denom) if denom > 0 else 0.0
+
+    return 1.0 - 0.5 * (h_x_given_y(cover_a, cover_b) + h_x_given_y(cover_b, cover_a))
+
+
 def rnmi(ma: DataFrame, mb: DataFrame, n_shuffles: int = 10, seed: int = 42) -> float:
     """NMI corrected by the mean NMI of label-shuffled partitions
     (src/nmi.jl:194-213): rnmi = nmi(a,b) − mean_k nmi(shuffle_k(a), b).
