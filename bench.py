@@ -32,6 +32,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    outlinks = float(os.environ.get("BENCH_OUTLINKS", "8"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark("linkgraph-bench", cores=cpus, shuffle_partitions=cpus)
@@ -55,18 +56,49 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def timed(name, fn):
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         out = fn()
         dt = time.time() - t0
         queries[name] = round(dt, 3)
+        print(f"[bench] {name}: {dt:.1f}s", file=sys.stderr, flush=True)
         return out
 
     # ---- headline: web link graph -------------------------------------
+    replicas = int(os.environ.get("BENCH_REPLICAS", "1"))
+
     def build_web_graph():
-        pages = synth_pages(spark, n_pages=n_pages, n_hosts=max(64, n_pages // 100))
+        pages = synth_pages(spark, n_pages=n_pages, n_hosts=max(64, n_pages // 100),
+                            avg_outlinks=outlinks)
         dim = url_dim(latest_captures(pages))
         e = restrict_to_corpus(extract_edges(pages), dim)
-        e = e.repartition(cpus, "src").persist()
+        if replicas > 1:
+            # disjoint structural copies (vertex-id offset) — scales the
+            # superstep workload without scaling python-side corpus
+            # generation; identical across parallelism levels
+            e = e.localCheckpoint(eager=True)  # materialize extraction once
+            # fold ids into 2^40 space first so the offset can't overflow
+            # an ANSI-mode long
+            base = e.select(
+                F.pmod(F.col("src"), F.lit(1 << 40)).alias("src"),
+                F.pmod(F.col("dst"), F.lit(1 << 40)).alias("dst"),
+                "weight",
+            )
+            copies = [
+                base.select(
+                    (F.col("src") + F.lit(k << 44)).alias("src"),
+                    (F.col("dst") + F.lit(k << 44)).alias("dst"),
+                    "weight",
+                )
+                for k in range(replicas)
+            ]
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            e = out
+        # localCheckpoint: materialize AND truncate the extraction plan so
+        # downstream iterative planning starts from a leaf relation
+        e = e.repartition(cpus, "src").localCheckpoint(eager=True)
         return e, e.count()
 
     web_edges, web_m = timed("web_extract_edges", build_web_graph)
@@ -87,8 +119,16 @@ def main() -> None:
 
     timed("web_components", lambda: connected_components(web_edges).count())
 
+    if os.environ.get("BENCH_ONLY") == "web":
+        total = round(sum(queries.values()), 3)
+        print(json.dumps({
+            "metric": "bench_suite_seconds", "value": total, "unit": "sec",
+            "queries": queries, "sf": sf, "cpus": cpus, "extras": extras,
+        }))
+        return
+
     # ---- operator suite over driver testdata ---------------------------
-    part_edges = _part_edges(spark, sf_dir).persist()
+    part_edges = _part_edges(spark, sf_dir).localCheckpoint(eager=True)
     pm = part_edges.count()
     extras["part_edges"] = pm
 

@@ -75,6 +75,25 @@ def plogp(col):
     return F.when(c > 0, c * F.log(c)).otherwise(F.lit(0.0))
 
 
+def materialize_iter(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
+    """Materialize per-iteration state: truncate lineage AND reset
+    Catalyst's size statistics.
+
+    ``localCheckpoint`` alone inherits the pre-checkpoint plan's
+    sizeInBytes estimate; join-size estimates multiply child sizes, so
+    across iterations the inherited estimate compounds geometrically
+    until BigInteger arithmetic inside stats estimation dominates the
+    driver (observed: Catalyst burning minutes in ToomCook3 multiplies
+    at sf0.1). Caching the checkpointed RDD makes downstream plans read
+    the *real* materialized size instead. ``prev`` (the previous
+    iteration's state) is unpersisted once the new state is live."""
+    new = df.localCheckpoint(eager=True).persist()
+    new.count()
+    if prev is not None:
+        prev.unpersist()
+    return new
+
+
 def num_edges(edges: DataFrame) -> int:
     return edges.count()
 

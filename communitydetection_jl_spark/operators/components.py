@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import vertices_of
+from ..functions.graph import materialize_iter, vertices_of
 
 
 def _checksum(pairs: DataFrame) -> tuple[int, int]:
@@ -80,13 +80,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             F.least("src", "dst").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    pairs = materialize_iter(pairs)
     prev = _checksum(pairs)
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=True)
+        pairs = materialize_iter(_small_star(_large_star(pairs)), prev=pairs)
         cur = _checksum(pairs)
         if cur == prev:
             break

@@ -38,7 +38,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import canonicalize_undirected, vertices_of, with_weight
+from ..functions.graph import (
+    canonicalize_undirected,
+    materialize_iter,
+    vertices_of,
+    with_weight,
+)
 from .coarsen import collapse_graph, from_coarser_partition, renumber_communities
 from .modularity import modularity
 
@@ -194,17 +199,21 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     stop once fewer than δ·n vertices move in a full parity pair —
     residual moves are polished by later levels / the local phase."""
     verts = vertices_of(edges)
-    memb = verts.select("id", F.col("id").alias("comm")).localCheckpoint(eager=True)
+    state = materialize_iter(verts.select("id", F.col("id").alias("comm")))
+    memb = state
     n = memb.count()
     strengths = _strengths(edges).persist()
+    strengths.count()
     m = float(with_weight(edges).agg(F.sum("weight")).collect()[0][0] or 0.0)
     if m <= 0:
         strengths.unpersist()
         return memb
     low_streak = 0
     for sweep in range(max_sweeps):
-        stepped = _move_sweep(edges, memb, strengths, m, sweep % 2, eps)
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = materialize_iter(
+            _move_sweep(edges, memb, strengths, m, sweep % 2, eps), prev=state
+        )
+        state = stepped
         moved = stepped.filter(F.col("moved")).count()
         memb = stepped.select("id", "comm")
         if ledger is not None:
@@ -240,7 +249,7 @@ def louvain(
     table. Distributed multi-greedy sweeps + collapse per level; exact
     sequential greedy below ``local_threshold`` edges (see module doc)."""
     spark = edges.sparkSession
-    base_edges = canonicalize_undirected(edges).localCheckpoint(eager=True)
+    base_edges = materialize_iter(canonicalize_undirected(edges))
     cur_edges = base_edges
     memb: DataFrame | None = None  # composed fine membership
     history = []
@@ -264,6 +273,7 @@ def louvain(
         n_before = lvl.count()
         n_after = lvl.select("comm").distinct().count()
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)
+        memb = materialize_iter(memb)  # truncate the level-join chain
         levels += 1
         history.append(
             {"level": level, "edges": m_edges, "mode": "distributed",
@@ -271,8 +281,9 @@ def louvain(
         )
         if n_after == n_before:
             break
-        cur_edges = collapse_graph(cur_edges, lvl, check_conservation=True)
-        cur_edges = cur_edges.localCheckpoint(eager=True)
+        cur_edges = materialize_iter(
+            collapse_graph(cur_edges, lvl, check_conservation=True)
+        )
 
     if memb is None:
         memb = vertices_of(base_edges).select("id", F.col("id").alias("comm"))

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import symmetrize, vertices_of, with_weight
+from ..functions.graph import materialize_iter, symmetrize, vertices_of, with_weight
 from .triangles import edge_common_neighbors
 
 
@@ -80,15 +80,21 @@ def lpa_superstep(
         ).alias("new_lbl")
     )
     upd = cur.join(best, "id", "left")
-    new_lbl = F.coalesce("new_lbl", "cur_lbl")
+    want_lbl = F.coalesce("new_lbl", "cur_lbl")
+    new_lbl = want_lbl
     if active_parity is not None:
         new_lbl = F.when(
-            F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(active_parity), new_lbl
+            F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(active_parity), want_lbl
         ).otherwise(F.col("cur_lbl"))
-    # carry the change flag so the driver loop can count convergence from
-    # the checkpointed output without a second join
+    # carry change flags so the driver loop can count convergence and
+    # maintain the frontier from the checkpointed output without a
+    # second join; ``wants`` marks parity-gated would-be movers that
+    # must stay active
     return upd.select(
-        "id", new_lbl.alias("lbl"), (new_lbl != F.col("cur_lbl")).alias("changed")
+        "id",
+        new_lbl.alias("lbl"),
+        (new_lbl != F.col("cur_lbl")).alias("changed"),
+        (want_lbl != F.col("cur_lbl")).alias("wants"),
     )
 
 
@@ -116,11 +122,18 @@ def label_propagation(
     max_iter: int = 200,
     renumber: bool = True,
     init_labels: DataFrame | None = None,
+    frontier: bool = True,
     ledger=None,
 ) -> LPAResult:
     """Run LPA to fixpoint. ``cn_bonus=True`` gives nsdlpa
     (src/label_propagation.jl:77-96); ``weighted=True`` uses edge
-    weights as votes (the hlpa/mlpa gather, src/hlpa.jl:3-28)."""
+    weights as votes (the hlpa/mlpa gather, src/hlpa.jl:3-28).
+
+    ``frontier=True`` restricts each gather to vertices adjacent to a
+    vertex that changed in the previous superstep — exact under sticky
+    tie-breaking (a vertex's vote multiset is unchanged otherwise), and
+    the DataFrame analogue of the reference's active-node set
+    (src/label_propagation.jl:100-113)."""
     sym = _vote_edges(edges, weighted, cn_bonus).repartition("dst").persist()
     sym.count()
     verts = vertices_of(edges)
@@ -129,7 +142,9 @@ def label_propagation(
         if init_labels is not None
         else verts.select("id", F.col("id").alias("lbl"))
     )
-    labels = labels.repartition("id").localCheckpoint(eager=True)
+    state = materialize_iter(labels.repartition("id"))
+    labels = state
+    active: DataFrame | None = None  # None = all vertices active
 
     changed_history: list[int] = []
     it = 0
@@ -137,11 +152,33 @@ def label_propagation(
     while it < max_iter:
         parity = it % 2 if semi_sync else None
         it += 1
-        stepped = lpa_superstep(
-            sym, labels, weighted=weighted, sticky=sticky, active_parity=parity
-        ).localCheckpoint(eager=True)
+        gather_sym = sym
+        if frontier and active is not None:
+            # re-evaluate only active listeners — but with ALL their
+            # incident edges (the vote multiset must be complete)
+            gather_sym = sym.join(
+                active.withColumnRenamed("id", "src"), "src", "left_semi"
+            )
+        stepped = materialize_iter(
+            lpa_superstep(
+                gather_sym, labels, weighted=weighted, sticky=sticky,
+                active_parity=parity,
+            ),
+            prev=state,
+        )
+        state = stepped
         changed = stepped.filter(F.col("changed")).count()
         labels = stepped.select("id", "lbl")
+        if frontier:
+            moved = stepped.filter(F.col("changed")).select("id")
+            # next active set: neighbors of movers + gated would-be movers
+            neigh = (
+                sym.join(moved.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select(F.col("src").alias("id"))
+                .distinct()
+            )
+            gated = stepped.filter(F.col("wants") & ~F.col("changed")).select("id")
+            active = neigh.unionByName(moved).unionByName(gated).distinct()
         changed_history.append(changed)
         if ledger is not None:
             ledger.record(it, {"changed": changed})

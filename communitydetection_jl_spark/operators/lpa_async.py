@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import symmetrize, vertices_of, with_weight
+from ..functions.graph import materialize_iter, symmetrize, vertices_of, with_weight
 from .lpa import permute_labels
 
 
@@ -99,7 +99,8 @@ def lpa_async(
     ).persist()
     sym.count()
     verts = vertices_of(e)
-    labels = verts.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    state = materialize_iter(verts.select("id", F.col("id").alias("lbl")))
+    labels = state
 
     schema = "id long, lbl long, changed boolean"
     changed_history: list[int] = []
@@ -125,9 +126,10 @@ def lpa_async(
         isolated = labels.join(new_labels.select("id"), "id", "left_anti").select(
             "id", "lbl", F.lit(False).alias("changed")
         )
-        new_labels = new_labels.unionByName(isolated).localCheckpoint(eager=True)
-        n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.select("id", "lbl")
+        new_state = materialize_iter(new_labels.unionByName(isolated), prev=state)
+        state = new_state
+        n_changed = new_state.filter(F.col("changed")).count()
+        labels = new_state.select("id", "lbl")
         changed_history.append(n_changed)
         if ledger is not None:
             ledger.record(rnd, {"changed": n_changed})

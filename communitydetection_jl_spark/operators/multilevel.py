@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import canonicalize_undirected
+from ..functions.graph import canonicalize_undirected, materialize_iter
 from .coarsen import collapse_graph, from_coarser_partition
 from .lpa import label_propagation, permute_labels
 from .triangles import similarity
@@ -46,7 +46,7 @@ def hlpa(
         cur = similarity(base).select("src", "dst", F.col("similarity").alias("weight"))
     else:
         cur = base
-    cur = cur.localCheckpoint(eager=True)
+    cur = materialize_iter(cur)
 
     memb: DataFrame | None = None
     history = []
@@ -63,13 +63,14 @@ def hlpa(
         history.append({"level": level, "n": n, "communities": q,
                         "lpa_iters": res.iterations})
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)
+        memb = materialize_iter(memb)  # truncate the level-join chain
         levels += 1
         if prev_q is not None and q >= prev_q:
             break
         if q == n or q <= 1:
             break
         prev_q = q
-        cur = collapse_graph(cur, lvl).localCheckpoint(eager=True)
+        cur = materialize_iter(collapse_graph(cur, lvl))
 
     memb = permute_labels(memb)
     return HLPAResult(memb, levels, history)

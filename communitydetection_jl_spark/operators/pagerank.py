@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import vertices_of
+from ..functions.graph import materialize_iter, vertices_of
 from .degrees import trans_prob_directed
 
 
@@ -87,7 +87,8 @@ def pagerank(
             start_iter, ranks = resumed
     if ranks is None:
         ranks = verts.select("id", F.lit(1.0 / n).alias("p"))
-    ranks = ranks.repartition("id").localCheckpoint(eager=True)
+    state = materialize_iter(ranks.repartition("id"))
+    ranks = state
 
     delta = float("inf")
     deltas: list[float] = []
@@ -110,8 +111,11 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("trans_prob") * F.col("p")).alias("msg"))
         )
-        new_ranks = (
-            verts.join(msgs, "id", "left")
+        # carry p_old through the update so the L1-delta is a scan over
+        # the cached result (no second shuffle join per iteration)
+        new_state = (
+            ranks.withColumnRenamed("p", "p_old")
+            .join(msgs, "id", "left")
             .crossJoin(F.broadcast(dang_sum))
             .select(
                 "id",
@@ -120,16 +124,16 @@ def pagerank(
                     + F.lit(damping) * F.col("_ds") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce("msg", F.lit(0.0))
                 ).alias("p"),
+                "p_old",
             )
-            .localCheckpoint(eager=True)
         )
+        new_state = materialize_iter(new_state, prev=state)
+        state = new_state
         delta = float(
-            new_ranks.join(ranks.withColumnRenamed("p", "p_old"), "id")
-            .agg(F.sum(F.abs(F.col("p") - F.col("p_old"))))
-            .collect()[0][0]
+            new_state.agg(F.sum(F.abs(F.col("p") - F.col("p_old")))).collect()[0][0]
             or 0.0
         )
-        ranks = new_ranks
+        ranks = new_state.select("id", "p")
         deltas.append(delta)
         if ledger is not None:
             ledger.record(it, {"delta": delta})

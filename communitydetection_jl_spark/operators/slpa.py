@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.graph import symmetrize, vertices_of, with_weight
+from ..functions.graph import materialize_iter, symmetrize, vertices_of, with_weight
 
 
 @dataclass
@@ -107,19 +107,21 @@ def slpa(
     )
     sym.count()
     verts = vertices_of(edges)
-    memory = verts.select(
-        "id", F.col("id").alias("label"), F.lit(1).cast("long").alias("cnt")
-    ).localCheckpoint(eager=True)
+    memory = materialize_iter(
+        verts.select(
+            "id", F.col("id").alias("label"), F.lit(1).cast("long").alias("cnt")
+        )
+    )
 
     history = []
     for it in range(1, iterations + 1):
         spoken = _speak(sym, memory, it, seed)
         adopted = _listen(spoken, it, seed)
-        memory = (
+        memory = materialize_iter(
             memory.unionByName(adopted.withColumn("cnt", F.lit(1).cast("long")))
             .groupBy("id", "label")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("cnt").alias("cnt")),
+            prev=memory,
         )
         if ledger is not None:
             ledger.record(it, {"memory_rows": memory.count()})

@@ -46,8 +46,15 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 
 def triangles(edges: DataFrame) -> DataFrame:
-    """Enumerate triangles once each: (x, y, z) vertex ids (unordered)."""
-    o = _oriented(edges)
+    """Enumerate triangles once each: (x, y, z) vertex ids (unordered).
+
+    The oriented edge set is checkpoint-truncated: it closes over the
+    input's whole join tree twice more below (wedge self-join + closing
+    semi-join), and Catalyst's size-estimation visitor multiplies
+    sizeInBytes over every join — an untruncated deep tree makes that
+    estimate a 10^5-digit BigInteger and planning itself becomes the
+    bottleneck (observed at sf0.1)."""
+    o = _oriented(edges).localCheckpoint(eager=True)
     e1 = o.select(F.col("a").alias("p"), F.col("b").alias("x"), F.col("bd").alias("xd"))
     e2 = o.select(F.col("a").alias("p"), F.col("b").alias("y"), F.col("bd").alias("yd"))
     wedges = e1.join(e2, "p").filter(

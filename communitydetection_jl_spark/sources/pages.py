@@ -64,13 +64,15 @@ def synth_pages(
     test). Text for a given url is byte-identical across runs and
     across duplicate captures (the per-row invariant)."""
 
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # fixed generation grid: content must be byte-identical regardless of
+    # the session's parallelism (the per-row invariant) — never derive
+    # randomness from partition ids whose meaning depends on core count
+    n_parts = 64
 
     def gen(batches):
         for pdf in batches:
             part_rows = []
             for pid in pdf["id"].tolist():
-                rng = np.random.default_rng(seed * 1_000_003 + pid)
                 lo = pid * n_pages // n_parts
                 hi = (pid + 1) * n_pages // n_parts
                 ids = np.arange(lo, hi)
@@ -78,8 +80,13 @@ def synth_pages(
                     continue
                 hosts = ids % n_hosts
                 urls = [f"http://host{h}.example/page/{i}" for h, i in zip(hosts, ids)]
-                n_links = rng.poisson(avg_outlinks, len(ids))
-                dangle = rng.random(len(ids)) < dangling_fraction
+                # per-page deterministic outlink count + dangling flag
+                h1 = (ids * np.uint64(2654435761) + np.uint64(seed)) % np.uint64(1000)
+                dangle = h1 < int(dangling_fraction * 1000)
+                n_links = np.maximum(
+                    0,
+                    ((ids * np.uint64(40503) + np.uint64(seed * 7919)) % np.uint64(int(2 * avg_outlinks + 1))).astype(int),
+                )
                 n_links[dangle] = 0
                 texts = []
                 for i, page_id in enumerate(ids):

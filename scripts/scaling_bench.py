@@ -27,17 +27,26 @@ def run_bench(cpus: int, sf_dir: str, n_pages: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["BENCH_PAGES"] = str(n_pages)
+    env["BENCH_ONLY"] = "web"  # scaling metric = the web-graph superstep workloads
+    env.setdefault("BENCH_OUTLINKS", "32")  # densify: supersteps must dominate job overhead
+    env.setdefault("BENCH_REPLICAS", "16")  # ~34M-edge workload via disjoint copies
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, check=True,
+        capture_output=True, text=True, env=env,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-8000:])
+        raise RuntimeError(f"bench at {cpus} cores failed (rc={out.returncode})")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    # big enough that per-superstep work dominates fixed job overhead —
+    # otherwise both parallelism levels are overhead-bound and the
+    # efficiency ratio measures nothing
+    n_pages = int(os.environ.get("BENCH_PAGES", "200000"))
     small_c, big_c = 8, 32
     small = run_bench(small_c, sf_dir, n_pages)
     big = run_bench(big_c, sf_dir, n_pages)
