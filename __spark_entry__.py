@@ -369,6 +369,12 @@ def q_louvain(spark, sf_dir):
     return louvain(_part_edges(spark, sf_dir)).membership
 
 
+def q_louvain_cpm(spark, sf_dir):
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges(spark, sf_dir), objective="cpm", gamma=0.5).membership
+
+
 def q_minhash_pairs(spark, sf_dir):
     from communitydetection_jl_spark.operators.dedup import minhash_lsh_pairs
 
@@ -464,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_full": q_pagerank_full,
         "lpa_full": q_lpa_full,
         "louvain": q_louvain,
+        "louvain_cpm": q_louvain_cpm,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_near_vectors": q_lsh_near_vectors,

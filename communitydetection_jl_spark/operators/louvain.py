@@ -53,8 +53,16 @@ from .modularity import modularity
 # semantics with deterministic order), used below local_threshold
 # ----------------------------------------------------------------------
 
-def _local_louvain(pairs, node_sizes=None, eps=1e-10, max_sweeps=100):
-    """Sequential greedy Louvain on (u, v, w) canonical undirected pairs.
+def _local_louvain(pairs, node_sizes=None, eps=1e-10, max_sweeps=100,
+                   objective="modularity", gamma=1.0):
+    """Sequential greedy optimization on (u, v, w) canonical undirected
+    pairs. ``objective``: 'modularity'/'rbconfig' (γ-scaled null model,
+    src/MPartition.jl:250-302,441-467) or 'cpm' (src/MPartition.jl:388-422,
+    needs node sizes).
+
+    The gain for u→c reduces to w_to(c) − penalty·k2_u·tot2(c∖u) with
+    (k2, tot2, penalty) = (strength, Σstrength, γ/2m) for modularity and
+    (node size, Σsize, γ) for CPM.
 
     Deterministic: vertices swept in sorted id order, ties broken by
     smallest community id. Returns dict id -> community id.
@@ -75,10 +83,16 @@ def _local_louvain(pairs, node_sizes=None, eps=1e-10, max_sweeps=100):
     if m <= 0:
         return {u: u for u in nodes}
     k = {u: sum(adj[u].values()) + 2.0 * selfw[u] for u in nodes}
+    if objective == "cpm":
+        k2 = {u: float((node_sizes or {}).get(u, 1.0)) for u in nodes}
+        penalty = gamma
+    else:
+        k2 = k
+        penalty = gamma / (2.0 * m)
     comm = {u: u for u in nodes}
-    tot = defaultdict(float)
+    tot2 = defaultdict(float)
     for u in nodes:
-        tot[comm[u]] += k[u]
+        tot2[comm[u]] += k2[u]
 
     order = sorted(nodes)
     improved_any = True
@@ -91,20 +105,20 @@ def _local_louvain(pairs, node_sizes=None, eps=1e-10, max_sweeps=100):
             w_to = defaultdict(float)
             for v, w in adj[u].items():
                 w_to[comm[v]] += w
-            tot[cu] -= k[u]
-            base = w_to.get(cu, 0.0) - k[u] * tot[cu] / (2.0 * m)
+            tot2[cu] -= k2[u]
+            base = w_to.get(cu, 0.0) - penalty * k2[u] * tot2[cu]
             best_c, best_gain = cu, 0.0
             for c in sorted(w_to):
                 if c == cu:
                     continue
-                gain = (w_to[c] - k[u] * tot[c] / (2.0 * m)) - base
+                gain = (w_to[c] - penalty * k2[u] * tot2[c]) - base
                 if gain > best_gain + eps or (
                     abs(gain - best_gain) <= eps and best_c != cu and c < best_c
                 ):
                     if gain > eps:
                         best_c, best_gain = c, gain
             comm[u] = best_c
-            tot[best_c] += k[u]
+            tot2[best_c] += k2[u]
             if best_c != cu:
                 improved_any = True
 
@@ -112,12 +126,18 @@ def _local_louvain(pairs, node_sizes=None, eps=1e-10, max_sweeps=100):
     n_comms = len(set(comm.values()))
     if n_comms < len(nodes):
         agg = defaultdict(float)
+        csize = defaultdict(float)
+        for u in nodes:
+            csize[comm[u]] += (node_sizes or {}).get(u, 1.0)
         for u, v, w in pairs:
             a, b = comm[u], comm[v]
             lo, hi = (a, b) if a <= b else (b, a)
             agg[(lo, hi)] += w
         coarse_pairs = [(a, b, w) for (a, b), w in agg.items()]
-        coarse_comm = _local_louvain(coarse_pairs, eps=eps, max_sweeps=max_sweeps)
+        coarse_comm = _local_louvain(
+            coarse_pairs, node_sizes=dict(csize), eps=eps,
+            max_sweeps=max_sweeps, objective=objective, gamma=gamma,
+        )
         if len(set(coarse_comm.values())) < n_comms:
             comm = {u: coarse_comm[comm[u]] for u in comm}
     return comm
@@ -136,9 +156,13 @@ def _strengths(edges: DataFrame) -> DataFrame:
     return per_end.groupBy("id").agg(F.sum("weight").alias("k"))
 
 
-def _move_sweep(edges: DataFrame, memb: DataFrame, strengths: DataFrame,
-                m: float, parity: int, eps: float) -> DataFrame:
-    """One bulk gain-scoring sweep; returns updated (id, comm)."""
+def _move_sweep(edges: DataFrame, memb: DataFrame, aux: DataFrame,
+                penalty: float, parity: int, eps: float) -> DataFrame:
+    """One bulk gain-scoring sweep; returns updated (id, comm).
+
+    ``aux`` is (id, k2): per-vertex null-model mass (strength for
+    modularity/RB-configuration, node size for CPM); the gain for u→c is
+    w_to(c) − penalty·k2_u·tot2(c∖u)."""
     mm = memb.select("id", F.col("comm").alias("c"))
     e = with_weight(edges).filter(F.col("src") != F.col("dst"))
     sym = e.select("src", "dst", "weight").unionByName(
@@ -151,16 +175,16 @@ def _move_sweep(edges: DataFrame, memb: DataFrame, strengths: DataFrame,
         .agg(F.sum("weight").alias("w_uc"))
     )
     tot = (
-        mm.join(strengths, "id")
+        mm.join(aux, "id")
         .groupBy(F.col("c").alias("cand"))
-        .agg(F.sum("k").alias("tot"))
+        .agg(F.sum("k2").alias("tot"))
     )
-    cur = mm.join(strengths, "id")
+    cur = mm.join(aux, "id")
     cand = (
         w_to.join(cur, "id")
         .join(tot, "cand")
-        .withColumn("tot_excl", F.col("tot") - F.when(F.col("cand") == F.col("c"), F.col("k")).otherwise(F.lit(0.0)))
-        .withColumn("score", F.col("w_uc") - F.col("k") * F.col("tot_excl") / F.lit(2.0 * m))
+        .withColumn("tot_excl", F.col("tot") - F.when(F.col("cand") == F.col("c"), F.col("k2")).otherwise(F.lit(0.0)))
+        .withColumn("score", F.col("w_uc") - F.lit(penalty) * F.col("k2") * F.col("tot_excl"))
     )
     # baseline = score of staying (w to own community minus self)
     base = cand.filter(F.col("cand") == F.col("c")).select(
@@ -192,7 +216,9 @@ def _move_sweep(edges: DataFrame, memb: DataFrame, strengths: DataFrame,
 
 def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                        move_floor: float = 0.01, ledger=None,
-                       level: int = 0) -> DataFrame:
+                       level: int = 0, objective: str = "modularity",
+                       gamma: float = 1.0,
+                       node_sizes: DataFrame | None = None) -> DataFrame:
     """Run bulk move sweeps on one level until (nearly) no vertex moves.
 
     ``move_floor`` is the reference's δ move floor (src/Optimiser.jl:148):
@@ -202,16 +228,23 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     state = materialize_iter(verts.select("id", F.col("id").alias("comm")))
     memb = state
     n = memb.count()
-    strengths = _strengths(edges).persist()
-    strengths.count()
     m = float(with_weight(edges).agg(F.sum("weight")).collect()[0][0] or 0.0)
     if m <= 0:
-        strengths.unpersist()
         return memb
+    if objective == "cpm":
+        aux = (node_sizes or verts.select("id", F.lit(1.0).alias("k2"))).select(
+            "id", F.col(node_sizes.columns[1] if node_sizes is not None else "k2").cast("double").alias("k2")
+        )
+        penalty = gamma
+    else:
+        aux = _strengths(edges).select("id", F.col("k").alias("k2"))
+        penalty = gamma / (2.0 * m)
+    aux = aux.persist()
+    aux.count()
     low_streak = 0
     for sweep in range(max_sweeps):
         stepped = materialize_iter(
-            _move_sweep(edges, memb, strengths, m, sweep % 2, eps), prev=state
+            _move_sweep(edges, memb, aux, penalty, sweep % 2, eps), prev=state
         )
         state = stepped
         moved = stepped.filter(F.col("moved")).count()
@@ -224,7 +257,7 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                 break
         else:
             low_streak = 0
-    strengths.unpersist()
+    aux.unpersist()
     return memb
 
 
@@ -243,15 +276,22 @@ def louvain(
     max_levels: int = 20,
     max_sweeps: int = 30,
     move_floor: float = 0.01,
+    objective: str = "modularity",
+    gamma: float = 1.0,
     ledger=None,
 ) -> LouvainResult:
-    """Modularity-optimizing community detection over an undirected edge
-    table. Distributed multi-greedy sweeps + collapse per level; exact
-    sequential greedy below ``local_threshold`` edges (see module doc)."""
+    """Quality-optimizing community detection over an undirected edge
+    table. ``objective``: 'modularity' (default), 'rbconfig' (modularity
+    with resolution gamma, src/MPartition.jl:441-467) or 'cpm'
+    (src/MPartition.jl:388-422). Distributed multi-greedy sweeps +
+    collapse per level; exact sequential greedy below
+    ``local_threshold`` edges (see module doc)."""
     spark = edges.sparkSession
     base_edges = materialize_iter(canonicalize_undirected(edges))
     cur_edges = base_edges
     memb: DataFrame | None = None  # composed fine membership
+    # per-level node sizes (CPM null model needs them through collapses)
+    sizes = vertices_of(base_edges).select("id", F.lit(1.0).alias("nsize"))
     history = []
     levels = 0
     for level in range(max_levels):
@@ -260,7 +300,12 @@ def louvain(
             break
         if m_edges <= local_threshold:
             pairs = [(r.src, r.dst, r.weight) for r in cur_edges.collect()]
-            comm = _local_louvain(pairs, eps=eps)
+            ns = (
+                {r.id: r.nsize for r in sizes.collect()}
+                if objective == "cpm" else None
+            )
+            comm = _local_louvain(pairs, node_sizes=ns, eps=eps,
+                                  objective=objective, gamma=gamma)
             lvl = spark.createDataFrame(
                 [(int(u), int(c)) for u, c in comm.items()], "id long, comm long"
             )
@@ -269,7 +314,9 @@ def louvain(
             history.append({"level": level, "edges": m_edges, "mode": "local"})
             break
         lvl = _distributed_level(cur_edges, eps, max_sweeps,
-                                 move_floor=move_floor, ledger=ledger, level=level)
+                                 move_floor=move_floor, ledger=ledger,
+                                 level=level, objective=objective, gamma=gamma,
+                                 node_sizes=sizes.withColumnRenamed("nsize", "k2"))
         n_before = lvl.count()
         n_after = lvl.select("comm").distinct().count()
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)
@@ -284,9 +331,19 @@ def louvain(
         cur_edges = materialize_iter(
             collapse_graph(cur_edges, lvl, check_conservation=True)
         )
+        sizes = (
+            sizes.join(lvl, "id")
+            .groupBy(F.col("comm").alias("id"))
+            .agg(F.sum("nsize").alias("nsize"))
+        )
 
     if memb is None:
         memb = vertices_of(base_edges).select("id", F.col("id").alias("comm"))
     memb = renumber_communities(memb)
-    q = modularity(base_edges, memb)
+    if objective == "cpm":
+        from .objectives import cpm_quality
+
+        q = cpm_quality(base_edges, memb, gamma=gamma)
+    else:
+        q = modularity(base_edges, memb)
     return LouvainResult(memb, q, levels, history)

@@ -28,6 +28,7 @@ def run_bench(cpus: int, sf_dir: str, n_pages: int) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["BENCH_PAGES"] = str(n_pages)
     env["BENCH_ONLY"] = "web"  # scaling metric = the web-graph superstep workloads
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")  # local mode: driver = whole JVM
     env.setdefault("BENCH_OUTLINKS", "32")  # densify: supersteps must dominate job overhead
     env.setdefault("BENCH_REPLICAS", "16")  # ~34M-edge workload via disjoint copies
     out = subprocess.run(

@@ -160,3 +160,20 @@ def test_gn_benchmark_lpa_quality(spark):
     assert score > 0.9
     q = modularity(edges, res.labels)
     assert q > 0.5
+
+
+def test_louvain_cpm_ring_of_cliques(spark):
+    edges, truth = fx.ring_of_cliques(spark)
+    res = louvain(edges, objective="cpm", gamma=0.5)
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+    assert res.quality > 0
+
+
+def test_louvain_rbconfig_resolution(spark):
+    """Higher resolution gamma must yield at least as many communities."""
+    edges, _ = fx.karate(spark)
+    low = louvain(edges, objective="rbconfig", gamma=0.5)
+    high = louvain(edges, objective="rbconfig", gamma=2.0)
+    q_low = low.membership.select("comm").distinct().count()
+    q_high = high.membership.select("comm").distinct().count()
+    assert q_high >= q_low
