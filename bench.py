@@ -104,13 +104,15 @@ def main() -> None:
     web_edges, web_m = timed("web_extract_edges", build_web_graph)
     extras["web_edges"] = web_m
 
-    pr_res = timed("web_pagerank", lambda: pagerank(web_edges, tol=1e-6, max_iter=100))
+    pr_max = int(os.environ.get("BENCH_PR_MAX_ITER", "100"))
+    lpa_max = int(os.environ.get("BENCH_LPA_MAX_ITER", "30"))
+    pr_res = timed("web_pagerank", lambda: pagerank(web_edges, tol=1e-6, max_iter=pr_max))
     extras["web_pagerank_iters"] = pr_res.iterations
     extras["pagerank_edges_per_sec_per_superstep"] = round(
         web_m * pr_res.iterations / max(queries["web_pagerank"], 1e-9), 1
     )
 
-    lpa_res = timed("web_lpa", lambda: lpa(web_edges, max_iter=30))
+    lpa_res = timed("web_lpa", lambda: lpa(web_edges, max_iter=lpa_max))
     extras["web_lpa_iters"] = lpa_res.iterations
     # LPA gathers over the symmetrized view: 2m edge-messages per superstep
     extras["lpa_edges_per_sec_per_superstep"] = round(

@@ -38,11 +38,20 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64m advisory caps reduce-side parallelism at
+        # (shuffle bytes / 64m) tasks — far below core count for
+        # mid-size supersteps; 16m keeps all cores busy
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PART", "16m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode shuffles go through spark.local.dir; on a RAM-rich
+        # box pointing it at tmpfs removes the disk bottleneck that
+        # otherwise caps superstep scaling (set SPARK_GRAFT_LOCAL_DIR)
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Build the --py-files artifact for spark-submit deployment.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p dist
+rm -f dist/communitydetection_jl_spark.zip
+python - <<'EOF'
+import os, zipfile
+with zipfile.ZipFile("dist/communitydetection_jl_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
+    for root, _, files in os.walk("communitydetection_jl_spark"):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                z.write(p, p)
+print("wrote dist/communitydetection_jl_spark.zip")
+EOF

@@ -29,6 +29,9 @@ def run_bench(cpus: int, sf_dir: str, n_pages: int) -> dict:
     env["BENCH_PAGES"] = str(n_pages)
     env["BENCH_ONLY"] = "web"  # scaling metric = the web-graph superstep workloads
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")  # local mode: driver = whole JVM
+    env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")  # RAM shuffle
+    env.setdefault("BENCH_PR_MAX_ITER", "10")   # throughput/superstep is the
+    env.setdefault("BENCH_LPA_MAX_ITER", "10")  # metric; 10 supersteps suffice
     env.setdefault("BENCH_OUTLINKS", "32")  # densify: supersteps must dominate job overhead
     env.setdefault("BENCH_REPLICAS", "16")  # ~34M-edge workload via disjoint copies
     out = subprocess.run(
