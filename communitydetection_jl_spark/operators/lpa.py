@@ -7,7 +7,7 @@ under bulk-synchronous execution is impossible in general (SURVEY.md
 §7.7); this engine implements the documented Spark-native semantics:
 
  - gather = one join (symmetrized edges ⋈ labels on dst) + one
-   groupBy(id, label) weighted count — the whole frontier in one
+   groupBy(listener, label) weighted count — the whole frontier in one
    superstep (src/label_propagation.jl:17-29 for all vertices at once);
  - argmax with deterministic tie-breaking
    (count desc, sticky-to-current, smallest label) — the deterministic
@@ -20,13 +20,25 @@ under bulk-synchronous execution is impossible in general (SURVEY.md
    flips labels forever); hash-parity alternation is the standard
    deterministic fix and converges like async LPA.
 
-Convergence: zero label changes across one even+odd superstep pair.
-Labels are canonicalized with first-seen renumbering (permute_labels!,
-src/utils.jl:14-35) so fixpoints compare exactly (north rule).
+Convergence: a superstep with zero changes AND zero gated would-be
+movers (a true fixpoint under both parities).
 
-Scale: per superstep one shuffle join + one partial-aggregated groupBy;
-lineage truncated per iteration via localCheckpoint; optional ledger
-snapshots for resume.
+Execution discipline (plans/iterstate.py): per superstep exactly ONE
+action — the state write with changed/wants counts observed on the
+same job. Three tricks keep the plan narrow:
+
+ - self rows: the listener's own label enters the gather as a
+   zero-weight row flagged cur=true, so (a) every vertex is covered
+   without a left-outer join and (b) the sticky tie-break needs no
+   extra join against current labels;
+ - the reference's active-node frontier (src/label_propagation.jl:
+   100-113) becomes a broadcast semi-join filter: once the observed
+   mover count is small, gather only listeners adjacent to a mover
+   (or gated movers) — exact under sticky tie-breaking because an
+   unchanged vote multiset cannot flip a sticky argmax;
+ - labels round-trip through parquet/bucketed tables (lineage
+   truncation + resume snapshots; see iterstate docstring for the
+   measured numbers).
 """
 
 from __future__ import annotations
@@ -36,7 +48,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import materialize_iter, symmetrize, vertices_of, with_weight
+from ..functions.graph import vertices_of, with_weight
+from ..plans.iterstate import StateLoop, no_aqe
 from .triangles import edge_common_neighbors
 
 
@@ -55,46 +68,50 @@ def lpa_superstep(
     active_parity: int | None = None,
 ) -> DataFrame:
     """One gather/argmax superstep. ``sym_edges`` must carry (src, dst,
-    vote); ``labels`` is (id, lbl). Returns new (id, lbl)."""
-    votes = (
-        sym_edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(F.col("src").alias("id"), "lbl", "vote")
+    vote); ``labels`` is (id, lbl). Returns (id, lbl, changed, wants).
+
+    Kept as a standalone, SQL-checkable unit (the driver oracle runs
+    the equivalent ANSI SQL); label_propagation() below fuses the same
+    plan into its write job."""
+    state = labels.select("id", "lbl")
+    gather = sym_edges.join(
+        state.withColumnRenamed("id", "dst"), "dst"
+    ).select(
+        F.col("src").alias("id"), "lbl", "vote", F.lit(False).alias("cur")
+    )
+    self_rows = state.select(
+        "id", "lbl", F.lit(0.0).alias("vote"), F.lit(True).alias("cur")
+    )
+    counts = (
+        gather.unionByName(self_rows)
         .groupBy("id", "lbl")
-        .agg(F.sum("vote").alias("cnt"))
+        .agg(F.sum("vote").alias("cnt"), F.max("cur").alias("cur"))
     )
-    cur = labels.withColumnRenamed("lbl", "cur_lbl")
-    scored = votes.join(cur, "id").select(
-        "id",
-        "lbl",
-        "cnt",
-        (F.col("lbl") == F.col("cur_lbl")).cast("int").alias("is_cur"),
-    )
-    best = scored.groupBy("id").agg(
+    best = counts.groupBy("id").agg(
         F.max_by(
             "lbl",
             F.struct(
                 F.col("cnt"),
-                (F.col("is_cur") if sticky else F.lit(0)).alias("tie1"),
-                (-F.col("lbl")).alias("tie2"),
+                (F.col("cur").cast("int") if sticky else F.lit(0)).alias("t1"),
+                (-F.col("lbl")).alias("t2"),
             ),
-        ).alias("new_lbl")
+        ).alias("want_lbl"),
+        F.max_by("lbl", F.struct(F.col("cur").cast("int"), F.col("lbl"))).alias(
+            "cur_lbl"
+        ),
     )
-    upd = cur.join(best, "id", "left")
-    want_lbl = F.coalesce("new_lbl", "cur_lbl")
-    new_lbl = want_lbl
+    want = F.col("want_lbl")
     if active_parity is not None:
         new_lbl = F.when(
-            F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(active_parity), want_lbl
+            F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(active_parity), want
         ).otherwise(F.col("cur_lbl"))
-    # carry change flags so the driver loop can count convergence and
-    # maintain the frontier from the checkpointed output without a
-    # second join; ``wants`` marks parity-gated would-be movers that
-    # must stay active
-    return upd.select(
+    else:
+        new_lbl = want
+    return best.select(
         "id",
         new_lbl.alias("lbl"),
         (new_lbl != F.col("cur_lbl")).alias("changed"),
-        (want_lbl != F.col("cur_lbl")).alias("wants"),
+        (want != F.col("cur_lbl")).alias("wants"),
     )
 
 
@@ -123,77 +140,115 @@ def label_propagation(
     renumber: bool = True,
     init_labels: DataFrame | None = None,
     frontier: bool = True,
+    frontier_max: int = 200_000,
     ledger=None,
+    mode: str = "dir",
+    state_name: str = "lpa_state",
 ) -> LPAResult:
     """Run LPA to fixpoint. ``cn_bonus=True`` gives nsdlpa
     (src/label_propagation.jl:77-96); ``weighted=True`` uses edge
     weights as votes (the hlpa/mlpa gather, src/hlpa.jl:3-28).
 
-    ``frontier=True`` restricts each gather to vertices adjacent to a
-    vertex that changed in the previous superstep — exact under sticky
-    tie-breaking (a vertex's vote multiset is unchanged otherwise), and
-    the DataFrame analogue of the reference's active-node set
-    (src/label_propagation.jl:100-113)."""
-    sym = _vote_edges(edges, weighted, cn_bonus).repartition("dst").persist()
-    sym.count()
-    verts = vertices_of(edges)
-    labels = (
-        init_labels.select("id", F.col(init_labels.columns[1]).alias("lbl"))
-        if init_labels is not None
-        else verts.select("id", F.col("id").alias("lbl"))
-    )
-    state = materialize_iter(labels.repartition("id"))
-    labels = state
-    active: DataFrame | None = None  # None = all vertices active
+    ``frontier=True`` switches to broadcast-filtered gathers once the
+    observed mover count drops below ``frontier_max`` — exact under
+    sticky tie-breaking (a vertex whose vote multiset is unchanged
+    keeps its label)."""
+    spark = edges.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    loop = StateLoop(spark, state_name, mode=mode, bucket_key="id", ledger=ledger)
+
+    sym_plan = _vote_edges(edges, weighted, cn_bonus)
+    sym_table = None
+    if mode == "tables":
+        sym_table = f"{loop.name}_sym"
+        loop._drop_table(sym_table)
+        (
+            sym_plan.repartition(P, "dst")
+            .write.bucketBy(P, "dst")
+            .mode("overwrite")
+            .saveAsTable(sym_table)
+        )
+        sym = spark.table(sym_table)
+    else:
+        sym = sym_plan.repartition(P, "dst").persist()
+        sym.count()
+
+    state = None
+    if ledger is not None:
+        state = loop.resume()
+    start_iter = loop.iteration if state is not None else 0
+    if state is None:
+        if init_labels is not None:
+            labels0 = init_labels.select(
+                "id", F.col(init_labels.columns[1]).alias("lbl")
+            )
+        else:
+            labels0 = vertices_of(edges).select("id", F.col("id").alias("lbl"))
+        state = loop.init(
+            labels0.select(
+                "id", "lbl", F.lit(True).alias("changed"), F.lit(False).alias("wants")
+            )
+        )
 
     changed_history: list[int] = []
-    it = 0
-    zero_streak = 0
-    while it < max_iter:
-        parity = it % 2 if semi_sync else None
-        it += 1
-        gather_sym = sym
-        if frontier and active is not None:
-            # re-evaluate only active listeners — but with ALL their
-            # incident edges (the vote multiset must be complete)
-            gather_sym = sym.join(
-                active.withColumnRenamed("id", "src"), "src", "left_semi"
-            )
-        stepped = materialize_iter(
-            lpa_superstep(
-                gather_sym, labels, weighted=weighted, sticky=sticky,
-                active_parity=parity,
-            ),
-            prev=state,
-        )
-        state = stepped
-        changed = stepped.filter(F.col("changed")).count()
-        labels = stepped.select("id", "lbl")
-        if frontier:
-            moved = stepped.filter(F.col("changed")).select("id")
-            # next active set: neighbors of movers + gated would-be movers
-            neigh = (
-                sym.join(moved.withColumnRenamed("id", "dst"), "dst", "left_semi")
-                .select(F.col("src").alias("id"))
-                .distinct()
-            )
-            gated = stepped.filter(F.col("wants") & ~F.col("changed")).select("id")
-            active = neigh.unionByName(moved).unionByName(gated).distinct()
-        changed_history.append(changed)
-        if ledger is not None:
-            ledger.record(it, {"changed": changed})
-            ledger.maybe_snapshot("labels", it, labels)
-        if changed == 0:
-            zero_streak += 1
-            if (not semi_sync) or zero_streak >= 2:
-                break
-        else:
-            zero_streak = 0
+    it = start_iter
+    changed_cnt = wants_cnt = None  # unknown -> full gather
+    with no_aqe(spark):
+        while it < max_iter:
+            parity = it % 2 if semi_sync else None
+            it += 1
 
-    sym.unpersist()
-    out = labels.withColumnRenamed("lbl", "comm")
+            gather_sym = sym
+            small_frontier = (
+                frontier
+                and changed_cnt is not None
+                and (changed_cnt + wants_cnt) <= frontier_max
+            )
+            if small_frontier:
+                movers = state.filter("changed").select("id")
+                gated = state.filter("wants and not changed").select("id")
+                nbrs = sym.join(
+                    F.broadcast(movers.withColumnRenamed("id", "dst")),
+                    "dst",
+                    "left_semi",
+                ).select(F.col("src").alias("id"))
+                active = (
+                    nbrs.unionByName(movers).unionByName(gated).distinct()
+                )
+                gather_sym = sym.join(
+                    F.broadcast(active.withColumnRenamed("id", "src")),
+                    "src",
+                    "left_semi",
+                )
+
+            stepped = lpa_superstep(
+                gather_sym,
+                state.select("id", "lbl"),
+                weighted=weighted,
+                sticky=sticky,
+                active_parity=parity,
+            )
+            state, got = loop.step(
+                stepped,
+                {
+                    "changed": F.sum(F.col("changed").cast("long")),
+                    "wants": F.sum(F.col("wants").cast("long")),
+                },
+            )
+            changed_cnt = int(got.get("changed") or 0)
+            wants_cnt = int(got.get("wants") or 0)
+            changed_history.append(changed_cnt)
+            if changed_cnt == 0 and wants_cnt == 0:
+                break
+
+    if mode != "tables":
+        sym.unpersist()
+    else:
+        loop._drop_table(sym_table)
+    out = state.select("id", F.col("lbl").alias("comm"))
     if renumber:
         out = permute_labels(out)
+    loop.cleanup(keep_final=True)
     return LPAResult(out, it, changed_history)
 
 

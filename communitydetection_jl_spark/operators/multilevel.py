@@ -55,7 +55,7 @@ def hlpa(
     for level in range(max_levels):
         res = label_propagation(
             cur, weighted=True, sticky=True, max_iter=max_iter,
-            renumber=False, ledger=ledger,
+            renumber=False, ledger=ledger, state_name=f"lpa_level{level}",
         )
         lvl = res.labels  # (id, comm)
         n = lvl.count()

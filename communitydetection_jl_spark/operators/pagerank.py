@@ -13,14 +13,19 @@ dangling mass redistributed uniformly; ``damping`` below is d.
 Convergence: L1 norm Σ|p'-p| ≤ tol (reference default sqrt(eps) ≈
 1.49e-8, max 1000 iterations).
 
-Scale notes:
- - the per-iteration shuffle is one join (ranks ⋈ arcs on src) + one
-   groupBy(dst) sum; the sum does map-side partial aggregation, so hub
-   in-degree skew collapses before the shuffle;
- - dangling ids are precomputed once (left_anti join) and cached;
- - lineage is truncated every iteration via localCheckpoint, and the
-   optional ``ledger`` writes (iter, delta) + a rank snapshot every
-   ``checkpoint_every`` iterations for mid-run resume (plans/runner.py).
+Execution discipline (profiled at 54M arcs, scripts/profile_pagerank.py
+and plans/iterstate.py):
+ - per iteration ONE Spark action: the state parquet/bucketed-table
+   write; the L1 delta and the NEXT iteration's dangling mass ride on
+   the same job as ``observe()`` metrics;
+ - the dangling mass enters the plan as a *literal* (it was observed
+   on the previous write) — no per-iteration broadcast subquery, no
+   semi-join; the dangling flag is a boolean column of the state;
+ - arcs: transition probs precomputed once, hash-partitioned by src
+   (cached, or a bucketed table in mode="tables" so both per-iteration
+   joins are co-partitioned with zero exchange on the wide side);
+ - state round-trips through parquet — lineage truncation, no
+   block-manager GC churn, resume snapshots for free.
 """
 
 from __future__ import annotations
@@ -30,7 +35,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import materialize_iter, vertices_of
+from ..functions.graph import vertices_of
+from ..plans.iterstate import StateLoop, no_aqe
 from .degrees import trans_prob_directed
 
 
@@ -48,99 +54,121 @@ def pagerank(
     tol: float = 1e-9,
     max_iter: int = 1000,
     ledger=None,
+    mode: str = "dir",
 ) -> PageRankResult:
     """Power-iteration PageRank over a directed arc table.
 
     ``damping`` = follow probability d (reference τ = 1-d = 0.15).
     Returns per-vertex probabilities summing to 1 (reference parity:
     allclose 1e-6 against the NumPy oracle of src/DiFlowGraph.jl:50-85).
+    ``mode="tables"`` uses bucketed managed tables for arcs+state
+    (fastest at scale; needs a writable warehouse dir).
     """
     spark = edges.sparkSession
     tau = 1.0 - damping
+    P = spark.sparkContext.defaultParallelism
 
-    verts = vertices_of(edges).persist()
-    n = verts.count()
+    loop = StateLoop(spark, "pr_state", mode=mode, bucket_key="id", ledger=ledger)
+
+    arcs_plan = trans_prob_directed(edges).select(
+        "src", "dst", F.col("trans_prob").alias("tp")
+    )
+    arcs_table = None
+    if mode == "tables":
+        arcs_table = f"{loop.name}_arcs"
+        loop._drop_table(arcs_table)
+        (
+            arcs_plan.repartition(P, "src")
+            .write.bucketBy(P, "src")
+            .mode("overwrite")
+            .saveAsTable(arcs_table)
+        )
+        arcs = spark.table(arcs_table)
+    else:
+        arcs = arcs_plan.repartition(P, "src").persist()
+        arcs.count()
+
+    verts = vertices_of(edges)
+    src_ids = edges.select(F.col("src").alias("id")).distinct()
+
+    state = None
+    if ledger is not None:
+        state = loop.resume()
+    start_iter = loop.iteration if state is not None else 0
+    if state is None:
+        state0 = (
+            verts.join(src_ids.withColumn("_h", F.lit(1)), "id", "left")
+            .select(
+                "id",
+                F.lit(0.0).alias("p"),
+                F.col("_h").isNull().alias("dang"),
+            )
+        )
+        state = loop.init(state0)
+
+    row = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dang").cast("long")).alias("nd"),
+        F.sum("p").alias("ptot"),
+    ).collect()[0]
+    n = int(row["n"])
     if n == 0:
+        loop.cleanup()
         empty = spark.createDataFrame([], "id long, pagerank double")
         return PageRankResult(empty, 0, 0.0)
-
-    # arcs with row-normalized transition prob; repartition by src so the
-    # per-iteration join is co-partitioned with ranks.
-    arcs = (
-        trans_prob_directed(edges)
-        .select("src", "dst", "trans_prob")
-        .repartition("src")
-        .persist()
-    )
-    arcs.count()  # materialize once
-
-    dangling = verts.join(
-        edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-    ).persist()
-    has_dangling = dangling.count() > 0
-
-    start_iter = 0
-    ranks = None
-    if ledger is not None:
-        resumed = ledger.load_latest("ranks")
-        if resumed is not None:
-            start_iter, ranks = resumed
-    if ranks is None:
-        ranks = verts.select("id", F.lit(1.0 / n).alias("p"))
-    state = materialize_iter(ranks.repartition("id"))
-    ranks = state
+    if start_iter == 0 or not row["ptot"]:
+        # fresh run: uniform init (can't bake 1/n into state0 before n
+        # is known without an extra count job)
+        state = state.select("id", F.lit(1.0 / n).alias("p"), "dang")
+        dang_mass = float(row["nd"] or 0) / n
+    else:
+        dang_mass = float(
+            state.agg(F.sum(F.when(F.col("dang"), F.col("p")))).collect()[0][0] or 0.0
+        )
 
     delta = float("inf")
     deltas: list[float] = []
     it = start_iter
-    while delta > tol and it < max_iter:
-        it += 1
-        # one materializing job per iteration: the dangling-mass scalar is a
-        # broadcast 1-row aggregate fused into the same plan (no separate
-        # collect), and the L1-delta aggregation runs over the checkpointed
-        # result (cheap second action, no recompute).
-        if has_dangling:
-            dang_sum = (
-                ranks.join(dangling, "id", "left_semi")
-                .agg(F.coalesce(F.sum("p"), F.lit(0.0)).alias("_ds"))
+    with no_aqe(spark):
+        while delta > tol and it < max_iter:
+            it += 1
+            msgs = (
+                arcs.join(state.select(F.col("id").alias("src"), "p"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("tp") * F.col("p")).alias("msg"))
             )
-        else:
-            dang_sum = spark.createDataFrame([(0.0,)], "_ds double")
-        msgs = (
-            arcs.join(ranks.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("trans_prob") * F.col("p")).alias("msg"))
-        )
-        # carry p_old through the update so the L1-delta is a scan over
-        # the cached result (no second shuffle join per iteration)
-        new_state = (
-            ranks.withColumnRenamed("p", "p_old")
-            .join(msgs, "id", "left")
-            .crossJoin(F.broadcast(dang_sum))
-            .select(
-                "id",
-                (
-                    F.lit(tau / n)
-                    + F.lit(damping) * F.col("_ds") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce("msg", F.lit(0.0))
-                ).alias("p"),
-                "p_old",
+            new_state = (
+                state.select("id", F.col("p").alias("p_old"), "dang")
+                .join(msgs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(tau / n + damping * dang_mass / n)
+                        + F.lit(damping) * F.coalesce("msg", F.lit(0.0))
+                    ).alias("p"),
+                    F.col("p_old"),
+                    "dang",
+                )
             )
-        )
-        new_state = materialize_iter(new_state, prev=state)
-        state = new_state
-        delta = float(
-            new_state.agg(F.sum(F.abs(F.col("p") - F.col("p_old")))).collect()[0][0]
-            or 0.0
-        )
-        ranks = new_state.select("id", "p")
-        deltas.append(delta)
-        if ledger is not None:
-            ledger.record(it, {"delta": delta})
-            ledger.maybe_snapshot("ranks", it, ranks)
+            state, got = loop.step(
+                new_state,
+                {
+                    "delta": F.sum(F.abs(F.col("p") - F.col("p_old"))),
+                    "dm": F.sum(F.when(F.col("dang"), F.col("p"))),
+                },
+                write_cols=["id", "p", "dang"],
+            )
+            delta = float(got.get("delta") or 0.0)
+            dang_mass = float(got.get("dm") or 0.0)
+            deltas.append(delta)
 
-    out = ranks.withColumnRenamed("p", "pagerank")
-    verts.unpersist()
-    arcs.unpersist()
-    dangling.unpersist()
+    out = state.select("id", F.col("p").alias("pagerank"))
+    if mode != "tables":
+        arcs.unpersist()
+    else:
+        loop._drop_table(arcs_table)
+    # NOTE: state files (and tables) for the final iteration back the
+    # returned DataFrame; only scratch dirs without a ledger are
+    # removed by cleanup(keep_final=True) -> no-op here.
+    loop.cleanup(keep_final=True)
     return PageRankResult(out, it, delta, deltas)
