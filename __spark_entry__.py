@@ -144,6 +144,20 @@ def q_pagerank_step(spark, sf_dir):
     )
 
 
+def q_dense_ids(spark, sf_dir):
+    """Dense int id dictionary over the part-graph vertex set
+    (functions/ids.py) — nid must equal the 0-based rank of id in
+    ascending order (range partitions are ordered, offsets accumulate
+    in partition order)."""
+    from communitydetection_jl_spark.functions.graph import vertices_of
+    from communitydetection_jl_spark.functions.ids import dense_ids
+
+    e = _part_edges(spark, sf_dir)
+    return dense_ids(vertices_of(e)).select(
+        "id", F.col("nid").cast("long").alias("nid")
+    )
+
+
 def q_components(spark, sf_dir):
     from communitydetection_jl_spark.operators.components import connected_components
 
@@ -466,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
+        "dense_ids": q_dense_ids,
         # rows-only (iterative / hash-seeded, no SQL oracle)
         "pagerank_full": q_pagerank_full,
         "lpa_full": q_lpa_full,
@@ -711,5 +726,10 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q.q_id
                 ORDER BY LIST_COSINE_SIMILARITY(v.embedding, q.q_vec) DESC, v.vec_id ASC
             ) <= 10
+        """,
+        "dense_ids": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
+            SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS nid FROM v
         """,
     }

@@ -10,8 +10,8 @@ Env:
   SPARK_GRAFT_CPUS     default 32
   BENCH_PAGES          default 20000 (pages in the synthetic corpus)
 
-Scaling-efficiency measurement (local[8] vs local[32]) lives in
-scripts/scaling_bench.py which shells out to this file.
+Scaling-efficiency measurement (N vs 4N cores on the same input)
+lives in scripts/scaling_bench.py which shells out to this file.
 """
 
 from __future__ import annotations
@@ -36,6 +36,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark("linkgraph-bench", cores=cpus, shuffle_partitions=cpus)
+    # graph-build plans sit on checkpointed/unioned leaves whose size
+    # estimates are unreliable; never let Catalyst auto-broadcast a
+    # mis-estimated big side (explicit F.broadcast hints still apply)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     from __spark_entry__ import _orders_edges, _part_edges
     from communitydetection_jl_spark.operators.components import connected_components
@@ -66,8 +70,12 @@ def main() -> None:
 
     # ---- headline: web link graph -------------------------------------
     replicas = int(os.environ.get("BENCH_REPLICAS", "1"))
+    # "tables" = bucketed arc/state tables, zero-exchange superstep joins
+    bench_mode = os.environ.get("BENCH_MODE", "tables")
 
     def build_web_graph():
+        from communitydetection_jl_spark.functions.ids import densify_edges
+
         pages = synth_pages(spark, n_pages=n_pages, n_hosts=max(64, n_pages // 100),
                             avg_outlinks=outlinks)
         dim = url_dim(latest_captures(pages))
@@ -96,30 +104,54 @@ def main() -> None:
             for c in copies[1:]:
                 out = out.unionByName(c)
             e = out
-        # localCheckpoint: materialize AND truncate the extraction plan so
-        # downstream iterative planning starts from a leaf relation
-        e = e.repartition(cpus, "src").localCheckpoint(eager=True)
+        # dense int32 ids: halves state/shuffle row width (SURVEY.md §4.3)
+        e, _ = densify_edges(e)
+        # parquet round-trip: materialize AND truncate the extraction
+        # plan (a leaf relation with real file stats); localCheckpoint
+        # at this width holds ~m deserialized rows in the block manager
+        import tempfile
+        base = os.environ.get("SPARK_GRAFT_STATE_DIR") or tempfile.gettempdir()
+        epath = os.path.join(base, f"bench_edges_{os.getpid()}")
+        e.repartition(cpus, "src").write.mode("overwrite").parquet(epath)
+        e = spark.read.parquet(epath)
         return e, e.count()
+
+    def _median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if xs else float("nan")
 
     web_edges, web_m = timed("web_extract_edges", build_web_graph)
     extras["web_edges"] = web_m
 
     pr_max = int(os.environ.get("BENCH_PR_MAX_ITER", "100"))
     lpa_max = int(os.environ.get("BENCH_LPA_MAX_ITER", "30"))
-    pr_res = timed("web_pagerank", lambda: pagerank(web_edges, tol=1e-6, max_iter=pr_max))
+    pr_res = timed("web_pagerank", lambda: pagerank(
+        web_edges, tol=1e-6, max_iter=pr_max, mode=bench_mode))
     extras["web_pagerank_iters"] = pr_res.iterations
     extras["pagerank_edges_per_sec_per_superstep"] = round(
         web_m * pr_res.iterations / max(queries["web_pagerank"], 1e-9), 1
     )
+    # steady-state throughput: median superstep wall time (robust to the
+    # first-iteration JIT warmup and box-level noise)
+    extras["pagerank_superstep_median_sec"] = round(_median(pr_res.iter_seconds), 3)
+    extras["pagerank_edges_per_sec_steady"] = round(
+        web_m / max(_median(pr_res.iter_seconds), 1e-9), 1
+    )
 
-    lpa_res = timed("web_lpa", lambda: lpa(web_edges, max_iter=lpa_max))
+    lpa_res = timed("web_lpa", lambda: lpa(
+        web_edges, max_iter=lpa_max, mode=bench_mode))
     extras["web_lpa_iters"] = lpa_res.iterations
     # LPA gathers over the symmetrized view: 2m edge-messages per superstep
     extras["lpa_edges_per_sec_per_superstep"] = round(
         2 * web_m * lpa_res.iterations / max(queries["web_lpa"], 1e-9), 1
     )
+    extras["lpa_superstep_median_sec"] = round(_median(lpa_res.iter_seconds), 3)
+    extras["lpa_edges_per_sec_steady"] = round(
+        2 * web_m / max(_median(lpa_res.iter_seconds), 1e-9), 1
+    )
 
-    timed("web_components", lambda: connected_components(web_edges).count())
+    timed("web_components", lambda: connected_components(
+        web_edges, mode=bench_mode).count())
 
     if os.environ.get("BENCH_ONLY") == "web":
         total = round(sum(queries.values()), 3)

@@ -30,13 +30,16 @@ def dense_ids(verts: DataFrame, id_col: str = "id", parts: int | None = None) ->
     P = parts or spark.sparkContext.defaultParallelism
     # materialize ONCE: repartitionByRange re-samples boundaries on
     # every execution, so the offset counts and the row_numbers must
-    # read the same physical instance
+    # read the same physical instance (persist, not localCheckpoint:
+    # checkpointing stores deserialized row objects and its job ships
+    # per-task result metadata that can trip driver.maxResultSize)
     d = (
         verts.select(id_col).distinct()
         .repartitionByRange(P, id_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    d.count()
     counts = d.groupBy("_pid").count().collect()
     offs: dict[int, int] = {}
     acc = 0
@@ -64,9 +67,21 @@ def densify_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     dim = dense_ids(verts).persist()
     dim.count()
     rest = [c for c in edges.columns if c not in ("src", "dst")]
+    # shuffle_hash hint: the edges side often sits on a checkpointed /
+    # unioned plan whose inherited size estimate is tiny, which would
+    # make Catalyst broadcast the (huge) edge table and abort at the
+    # 8 GiB broadcast cap; hash-joining on the dim side is always right
     out = (
-        edges.join(dim.select(F.col("id").alias("src"), F.col("nid").alias("_s")), "src")
-        .join(dim.select(F.col("id").alias("dst"), F.col("nid").alias("_d")), "dst")
+        edges.join(
+            dim.select(F.col("id").alias("src"), F.col("nid").alias("_s"))
+            .hint("shuffle_hash"),
+            "src",
+        )
+        .join(
+            dim.select(F.col("id").alias("dst"), F.col("nid").alias("_d"))
+            .hint("shuffle_hash"),
+            "dst",
+        )
         .select(F.col("_s").alias("src"), F.col("_d").alias("dst"), *rest)
     )
     return out, dim

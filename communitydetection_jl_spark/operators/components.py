@@ -26,19 +26,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import materialize_iter, vertices_of
+from ..functions.graph import vertices_of
+from ..plans.iterstate import StateLoop, no_aqe
 
-
-def _checksum(pairs: DataFrame) -> tuple[int, int]:
+def _checksum_metrics() -> dict:
     # decimal sum: hash values are full-range longs and would overflow
     # an ANSI-mode long sum
-    row = pairs.agg(
-        F.count("*").alias("c"),
-        F.coalesce(
+    return {
+        "c": F.count(F.lit(1)),
+        "h": F.coalesce(
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
-        ).cast("string").alias("h"),
-    ).collect()[0]
-    return int(row["c"]), int(row["h"])
+        ).cast("string"),
+    }
 
 
 def _large_star(pairs: DataFrame) -> DataFrame:
@@ -68,31 +67,48 @@ def _small_star(pairs: DataFrame) -> DataFrame:
     return to_root.unionByName(siblings).distinct()
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50, ledger=None, mode: str = "dir"
+) -> DataFrame:
     """Exact component ids: returns (id, comp) with comp = min id in
     the component. Isolated vertices (self-loop-only or none) map to
-    themselves."""
+    themselves.
+
+    One action per L+S round: the pair-set write carries its own
+    (count, hash-sum) convergence checksum as observe() metrics
+    (plans/iterstate.py discipline)."""
+    spark = edges.sparkSession
     verts = vertices_of(edges)
-    pairs = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.greatest("src", "dst").alias("a"),
-            F.least("src", "dst").alias("b"),
+    loop = StateLoop(spark, "cc_pairs", mode=mode, bucket_key="a", ledger=ledger)
+
+    state = None
+    if ledger is not None:
+        state = loop.resume()
+    if state is None:
+        pairs0 = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("a"),
+                F.least("src", "dst").alias("b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    pairs = materialize_iter(pairs)
-    prev = _checksum(pairs)
+        state = loop.init(pairs0)
+    prev = None
     rounds = 0
-    while rounds < max_rounds:
-        rounds += 1
-        pairs = materialize_iter(_small_star(_large_star(pairs)), prev=pairs)
-        cur = _checksum(pairs)
-        if cur == prev:
-            break
-        prev = cur
-    membership = pairs.select(F.col("a").alias("id"), F.col("b").alias("comp"))
-    return (
-        verts.join(membership, "id", "left")
-        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    with no_aqe(spark):
+        while rounds < max_rounds:
+            rounds += 1
+            state, got = loop.step(
+                _small_star(_large_star(state)), _checksum_metrics()
+            )
+            cur = (int(got["c"] or 0), str(got["h"]))
+            if cur == prev:
+                break
+            prev = cur
+    membership = state.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+    out = verts.join(membership, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
     )
+    loop.cleanup(keep_final=True)
+    return out

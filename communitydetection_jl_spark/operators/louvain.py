@@ -223,13 +223,25 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
 
     ``move_floor`` is the reference's δ move floor (src/Optimiser.jl:148):
     stop once fewer than δ·n vertices move in a full parity pair —
-    residual moves are polished by later levels / the local phase."""
+    residual moves are polished by later levels / the local phase.
+
+    Per sweep ONE action (plans/iterstate.py): the membership write
+    carries the moved-count as an observe() metric."""
+    from ..plans.iterstate import StateLoop, no_aqe
+
+    spark = edges.sparkSession
     verts = vertices_of(edges)
-    state = materialize_iter(verts.select("id", F.col("id").alias("comm")))
-    memb = state
+    row = (
+        with_weight(edges)
+        .agg(F.sum("weight").alias("m"))
+        .collect()[0]
+    )
+    m = float(row["m"] or 0.0)
+    loop = StateLoop(spark, f"louvain_l{level}", bucket_key="id", ledger=None)
+    memb = loop.init(verts.select("id", F.col("id").alias("comm")))
     n = memb.count()
-    m = float(with_weight(edges).agg(F.sum("weight")).collect()[0][0] or 0.0)
     if m <= 0:
+        loop.cleanup(keep_final=True)
         return memb
     if objective == "cpm":
         aux = (node_sizes or verts.select("id", F.lit(1.0).alias("k2"))).select(
@@ -242,23 +254,26 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     aux = aux.persist()
     aux.count()
     low_streak = 0
-    for sweep in range(max_sweeps):
-        stepped = materialize_iter(
-            _move_sweep(edges, memb, aux, penalty, sweep % 2, eps), prev=state
-        )
-        state = stepped
-        moved = stepped.filter(F.col("moved")).count()
-        memb = stepped.select("id", "comm")
-        if ledger is not None:
-            ledger.record(sweep, {"level": level, "moved": moved})
-        if moved <= move_floor * n:
-            low_streak += 1
-            if low_streak >= 2:  # both parities quiet
-                break
-        else:
-            low_streak = 0
+    with no_aqe(spark):
+        for sweep in range(max_sweeps):
+            memb, got = loop.step(
+                _move_sweep(edges, memb.select("id", "comm"), aux, penalty,
+                            sweep % 2, eps),
+                {"moved": F.sum(F.col("moved").cast("long"))},
+                write_cols=["id", "comm"],
+            )
+            moved = int(got.get("moved") or 0)
+            if ledger is not None:
+                ledger.record(sweep, {"level": level, "moved": moved})
+            if moved <= move_floor * n:
+                low_streak += 1
+                if low_streak >= 2:  # both parities quiet
+                    break
+            else:
+                low_streak = 0
     aux.unpersist()
-    return memb
+    loop.cleanup(keep_final=True)
+    return memb.select("id", "comm")
 
 
 @dataclass

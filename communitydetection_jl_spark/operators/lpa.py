@@ -58,6 +58,7 @@ class LPAResult:
     labels: DataFrame  # (id, comm)
     iterations: int
     changed_history: list = field(default_factory=list)
+    iter_seconds: list = field(default_factory=list)
 
 
 def lpa_superstep(
@@ -184,15 +185,26 @@ def label_propagation(
             )
         else:
             labels0 = vertices_of(edges).select("id", F.col("id").alias("lbl"))
+        # deg rides in the state so each superstep can OBSERVE
+        # sum(deg of movers) — an upper bound on the next active set,
+        # gating the frontier broadcast safely even with hub vertices
+        degs = sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
         state = loop.init(
-            labels0.select(
-                "id", "lbl", F.lit(True).alias("changed"), F.lit(False).alias("wants")
+            labels0.join(degs, "id", "left").select(
+                "id",
+                "lbl",
+                F.lit(True).alias("changed"),
+                F.lit(False).alias("wants"),
+                F.coalesce("deg", F.lit(0)).alias("deg"),
             )
         )
 
     changed_history: list[int] = []
     it = start_iter
     changed_cnt = wants_cnt = None  # unknown -> full gather
+    frontier_bound = None
     with no_aqe(spark):
         while it < max_iter:
             parity = it % 2 if semi_sync else None
@@ -202,7 +214,8 @@ def label_propagation(
             small_frontier = (
                 frontier
                 and changed_cnt is not None
-                and (changed_cnt + wants_cnt) <= frontier_max
+                and frontier_bound is not None
+                and (frontier_bound + wants_cnt) <= frontier_max
             )
             if small_frontier:
                 movers = state.filter("changed").select("id")
@@ -227,16 +240,21 @@ def label_propagation(
                 weighted=weighted,
                 sticky=sticky,
                 active_parity=parity,
-            )
+            ).join(state.select("id", "deg"), "id")
             state, got = loop.step(
                 stepped,
                 {
                     "changed": F.sum(F.col("changed").cast("long")),
                     "wants": F.sum(F.col("wants").cast("long")),
+                    # bound on |active|: movers + their neighbors + gated
+                    "fbound": F.sum(
+                        F.when(F.col("changed"), F.col("deg") + 1).otherwise(F.lit(0))
+                    ),
                 },
             )
             changed_cnt = int(got.get("changed") or 0)
             wants_cnt = int(got.get("wants") or 0)
+            frontier_bound = int(got.get("fbound") or 0)
             changed_history.append(changed_cnt)
             if changed_cnt == 0 and wants_cnt == 0:
                 break
@@ -249,7 +267,7 @@ def label_propagation(
     if renumber:
         out = permute_labels(out)
     loop.cleanup(keep_final=True)
-    return LPAResult(out, it, changed_history)
+    return LPAResult(out, it, changed_history, list(loop.timings))
 
 
 def permute_labels(membership: DataFrame) -> DataFrame:

@@ -46,6 +46,7 @@ class PageRankResult:
     iterations: int
     delta: float
     deltas: list = field(default_factory=list)
+    iter_seconds: list = field(default_factory=list)
 
 
 def pagerank(
@@ -171,4 +172,4 @@ def pagerank(
     # returned DataFrame; only scratch dirs without a ledger are
     # removed by cleanup(keep_final=True) -> no-op here.
     loop.cleanup(keep_final=True)
-    return PageRankResult(out, it, delta, deltas)
+    return PageRankResult(out, it, delta, deltas, list(loop.timings))

@@ -32,7 +32,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.graph import materialize_iter, symmetrize, vertices_of, with_weight
+from ..functions.graph import symmetrize, vertices_of, with_weight
+from ..plans.iterstate import StateLoop, no_aqe
 
 
 @dataclass
@@ -99,6 +100,7 @@ def slpa(
 ) -> SLPAResult:
     """Run SLPA for a fixed number of rounds (reference default 20,
     src/slpa.jl:81-120), post-process with threshold ``r``."""
+    spark = edges.sparkSession
     sym = (
         symmetrize(with_weight(edges))
         .select("src", "dst")
@@ -107,26 +109,32 @@ def slpa(
     )
     sym.count()
     verts = vertices_of(edges)
-    memory = materialize_iter(
-        verts.select(
-            "id", F.col("id").alias("label"), F.lit(1).cast("long").alias("cnt")
+    loop = StateLoop(spark, "slpa_memory", bucket_key="id", ledger=ledger)
+    memory = None
+    if ledger is not None:
+        memory = loop.resume()
+    start_it = loop.iteration if memory is not None else 0
+    if memory is None:
+        memory = loop.init(
+            verts.select(
+                "id", F.col("id").alias("label"), F.lit(1).cast("long").alias("cnt")
+            )
         )
-    )
 
     history = []
-    for it in range(1, iterations + 1):
-        spoken = _speak(sym, memory, it, seed)
-        adopted = _listen(spoken, it, seed)
-        memory = materialize_iter(
-            memory.unionByName(adopted.withColumn("cnt", F.lit(1).cast("long")))
-            .groupBy("id", "label")
-            .agg(F.sum("cnt").alias("cnt")),
-            prev=memory,
-        )
-        if ledger is not None:
-            ledger.record(it, {"memory_rows": memory.count()})
-            ledger.maybe_snapshot("slpa_memory", it, memory)
-        history.append(it)
+    with no_aqe(spark):
+        for it in range(start_it + 1, iterations + 1):
+            spoken = _speak(sym, memory, it, seed)
+            adopted = _listen(spoken, it, seed)
+            memory, got = loop.step(
+                memory.unionByName(
+                    adopted.withColumn("cnt", F.lit(1).cast("long"))
+                )
+                .groupBy("id", "label")
+                .agg(F.sum("cnt").alias("cnt")),
+                {"memory_rows": F.count(F.lit(1))},
+            )
+            history.append(it)
 
     # post-processing: drop labels below r * total memory size; if a node
     # loses everything keep its argmax label (src/slpa.jl:124-141)
@@ -147,4 +155,5 @@ def slpa(
     cover = final_mem.groupBy("label").agg(F.sort_array(F.collect_list("id")).alias("members"))
     membership = argmax.select("id", F.col("label").alias("comm"))
     sym.unpersist()
+    loop.cleanup(keep_final=True)
     return SLPAResult(final_mem, cover, membership, iterations, history)

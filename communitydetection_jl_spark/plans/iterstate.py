@@ -28,6 +28,7 @@ import itertools
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -107,6 +108,7 @@ class StateLoop:
                 self.dir = tempfile.mkdtemp(prefix=f"{self.name}_", dir=base)
         self._schema = None
         self._cur: DataFrame | None = None
+        self.timings: list[float] = []  # wall seconds per step()
 
     # -- internals -------------------------------------------------------
     def _drop_table(self, t: str) -> None:
@@ -192,6 +194,7 @@ class StateLoop:
         write job. ``write_cols`` projects the written columns AFTER the
         observe, so metrics may reference scratch columns that are not
         persisted. Returns (new_state, metric values)."""
+        t0 = time.time()
         self.iteration += 1
         obs = Observation(f"{self.name}_it{self.iteration}")
         cols = [c.alias(k) if hasattr(c, "alias") else F.expr(c).alias(k)
@@ -210,6 +213,7 @@ class StateLoop:
             old = self.iteration - self.keep_last
             if old >= 0:
                 shutil.rmtree(self._target(old), ignore_errors=True)
+        self.timings.append(time.time() - t0)
         return self._cur, got
 
     def cleanup(self, keep_final: bool = False) -> None:

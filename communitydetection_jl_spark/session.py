@@ -47,7 +47,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # superstep joins are co-partitioned by construction: a shuffled
+        # hash join streams the (cached/bucketed) arc table without
+        # sorting it every iteration; SMJ re-sorts m rows per superstep
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # G1's concurrent mark cycles + humongous-allocation churn stall
+        # gather supersteps for seconds (measured: 2.7s young pauses,
+        # 18s mark cycles at 48g); throughput GC suits batch supersteps
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # localCheckpoint/collect task-result metadata scales with task
+        # count; the 1g default aborts wide materializations
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
         # local-mode shuffles go through spark.local.dir; on a RAM-rich
         # box pointing it at tmpfs removes the disk bottleneck that
         # otherwise caps superstep scaling (set SPARK_GRAFT_LOCAL_DIR)
