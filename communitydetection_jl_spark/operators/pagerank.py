@@ -20,10 +20,17 @@ and plans/iterstate.py):
    the same job as ``observe()`` metrics;
  - the dangling mass enters the plan as a *literal* (it was observed
    on the previous write) — no per-iteration broadcast subquery, no
-   semi-join; the dangling flag is a boolean column of the state;
- - arcs: transition probs precomputed once, hash-partitioned by src
-   (cached, or a bucketed table in mode="tables" so both per-iteration
-   joins are co-partitioned with zero exchange on the wide side);
+   semi-join; dangling is derived from the state's out-degree column;
+ - arcs: hash-partitioned by src (cached, or a bucketed table in
+   mode="tables" so both per-iteration joins are co-partitioned with
+   zero exchange on the wide side);
+ - **constant-weight fast path**: when every arc has the same weight
+   (the web link-graph case — trans prob is then exactly 1/outdeg),
+   the arc table is a bare (src, dst) pair list — no per-arc double —
+   and each superstep streams p[src]/outdeg[src] shares. Halves the
+   bytes scanned+joined per superstep (the scaling-critical term at
+   N→4N executors); the general weighted path keeps per-arc
+   trans_prob (src/DiFlowGraph.jl:22-44);
  - state round-trips through parquet — lineage truncation, no
    block-manager GC churn, resume snapshots for free.
 """
@@ -49,6 +56,16 @@ class PageRankResult:
     iter_seconds: list = field(default_factory=list)
 
 
+def _is_constant_weight(edges: DataFrame) -> bool:
+    """True iff the trans prob degenerates to 1/outdeg: no weight
+    column, or one global constant weight. One columnar min/max scan,
+    paid once per run (saves a double per arc every superstep)."""
+    if "weight" not in edges.columns:
+        return True
+    row = edges.agg(F.min("weight").alias("lo"), F.max("weight").alias("hi")).collect()[0]
+    return row["lo"] is not None and float(row["lo"]) == float(row["hi"]) > 0.0
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -71,9 +88,14 @@ def pagerank(
 
     loop = StateLoop(spark, "pr_state", mode=mode, bucket_key="id", ledger=ledger)
 
-    arcs_plan = trans_prob_directed(edges).select(
-        "src", "dst", F.col("trans_prob").alias("tp")
-    )
+    uniform = _is_constant_weight(edges)
+    if uniform:
+        # share superstep: message = p[src]/outdeg[src], arc = 8B pair
+        arcs_plan = edges.select("src", "dst")
+    else:
+        arcs_plan = trans_prob_directed(edges).select(
+            "src", "dst", F.col("trans_prob").alias("tp")
+        )
     arcs_table = None
     if mode == "tables":
         arcs_table = f"{loop.name}_arcs"
@@ -90,26 +112,30 @@ def pagerank(
         arcs.count()
 
     verts = vertices_of(edges)
-    src_ids = edges.select(F.col("src").alias("id")).distinct()
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
 
     state = None
     if ledger is not None:
         state = loop.resume()
+        if state is not None and "outdeg" not in state.columns:
+            state = None  # pre-fast-path snapshot; restart cleanly
     start_iter = loop.iteration if state is not None else 0
     if state is None:
-        state0 = (
-            verts.join(src_ids.withColumn("_h", F.lit(1)), "id", "left")
-            .select(
-                "id",
-                F.lit(0.0).alias("p"),
-                F.col("_h").isNull().alias("dang"),
-            )
+        loop.iteration = 0
+        start_iter = 0
+        state0 = verts.join(outdeg, "id", "left").select(
+            "id",
+            F.lit(0.0).alias("p"),
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
         )
         state = loop.init(state0)
 
+    dang = F.col("outdeg") == 0
     row = state.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("dang").cast("long")).alias("nd"),
+        F.sum(dang.cast("long")).alias("nd"),
         F.sum("p").alias("ptot"),
     ).collect()[0]
     n = int(row["n"])
@@ -120,11 +146,11 @@ def pagerank(
     if start_iter == 0 or not row["ptot"]:
         # fresh run: uniform init (can't bake 1/n into state0 before n
         # is known without an extra count job)
-        state = state.select("id", F.lit(1.0 / n).alias("p"), "dang")
+        state = state.select("id", F.lit(1.0 / n).alias("p"), "outdeg")
         dang_mass = float(row["nd"] or 0) / n
     else:
         dang_mass = float(
-            state.agg(F.sum(F.when(F.col("dang"), F.col("p")))).collect()[0][0] or 0.0
+            state.agg(F.sum(F.when(dang, F.col("p")))).collect()[0][0] or 0.0
         )
 
     delta = float("inf")
@@ -133,13 +159,24 @@ def pagerank(
     with no_aqe(spark):
         while delta > tol and it < max_iter:
             it += 1
-            msgs = (
-                arcs.join(state.select(F.col("id").alias("src"), "p"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum(F.col("tp") * F.col("p")).alias("msg"))
-            )
+            if uniform:
+                shares = state.filter(F.col("outdeg") > 0).select(
+                    F.col("id").alias("src"),
+                    (F.col("p") / F.col("outdeg")).alias("share"),
+                )
+                msgs = (
+                    arcs.join(shares, "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum("share").alias("msg"))
+                )
+            else:
+                msgs = (
+                    arcs.join(state.select(F.col("id").alias("src"), "p"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum(F.col("tp") * F.col("p")).alias("msg"))
+                )
             new_state = (
-                state.select("id", F.col("p").alias("p_old"), "dang")
+                state.select("id", F.col("p").alias("p_old"), "outdeg")
                 .join(msgs, "id", "left")
                 .select(
                     "id",
@@ -148,16 +185,16 @@ def pagerank(
                         + F.lit(damping) * F.coalesce("msg", F.lit(0.0))
                     ).alias("p"),
                     F.col("p_old"),
-                    "dang",
+                    "outdeg",
                 )
             )
             state, got = loop.step(
                 new_state,
                 {
                     "delta": F.sum(F.abs(F.col("p") - F.col("p_old"))),
-                    "dm": F.sum(F.when(F.col("dang"), F.col("p"))),
+                    "dm": F.sum(F.when(dang, F.col("p"))),
                 },
-                write_cols=["id", "p", "dang"],
+                write_cols=["id", "p", "outdeg"],
             )
             delta = float(got.get("delta") or 0.0)
             dang_mass = float(got.get("dm") or 0.0)
