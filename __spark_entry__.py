@@ -438,6 +438,15 @@ def q_map_equation(spark, sf_dir):
     return spark.createDataFrame([(round(map_equation(e, memb), 6),)], "codelength double")
 
 
+def q_infomap(spark, sf_dir):
+    """Map-equation-minimizing communities (Infomap, operators/infomap.py;
+    reference entry point flow_partition + optimize_partition!,
+    src/FlowPartition.jl + src/Optimiser.jl in minimize mode)."""
+    from communitydetection_jl_spark.operators.infomap import infomap
+
+    return infomap(_part_edges(spark, sf_dir)).membership
+
+
 def q_lang_prf(spark, sf_dir):
     """Per-class precision/recall/F1 of the heuristic language-id vs the
     documents table's lang column."""
@@ -493,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slpa": q_slpa,
         "hlpa": q_hlpa,
         "map_equation": q_map_equation,
+        "infomap": q_infomap,
         "lang_prf": q_lang_prf,
     }
 

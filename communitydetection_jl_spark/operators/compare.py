@@ -86,6 +86,25 @@ def nvoi(ma: DataFrame, mb: DataFrame) -> float:
     return vi / math.log(n) if n > 1 else 0.0
 
 
+def nminvoi(ma: DataFrame, mb: DataFrame) -> tuple[float, float]:
+    """Both comparators from ONE contingency pass (src/nmi.jl:130-192):
+    returns (nmi, nvoi)."""
+    joined = contingency(ma, mb).persist()
+    n = int(joined.agg(F.sum("nij")).collect()[0][0] or 0)
+    if n == 0:
+        joined.unpersist()
+        return 0.0, 0.0
+    qa = joined.select("ca").distinct().count()
+    qb = joined.select("cb").distinct().count()
+    ha, hb, iab = _entropies(joined, n)
+    joined.unpersist()
+    denom = ha + hb
+    nmi_v = 0.0 if (qa == 1 and qb == 1) or denom == 0 else -2.0 * iab / denom
+    vi = (-ha) + (-hb) - 2.0 * iab
+    nvoi_v = vi / math.log(n) if n > 1 else 0.0
+    return nmi_v, nvoi_v
+
+
 def _pair_counts(ma: DataFrame, mb: DataFrame) -> tuple[int, int, int, int, int]:
     """Contingency-table pair counts (n, a11, a10, a01, a00)."""
     ct = contingency(ma, mb).persist()

@@ -1,0 +1,392 @@
+"""Infomap: map-equation-minimizing community detection, Spark-first.
+
+Reference lifecycle (entry point C): ``flow_partition(g[, w])`` →
+``optimize_partition!`` with the Louvain skeleton run in *minimize*
+mode (direction/termination flipped: src/FlowPartition.jl:21-22 vs
+src/MPartition.jl:23-24), delta scoring diff_move
+(src/FlowPartition.jl:147-188), collapse dropping intra-community
+self-loops (src/FlowPartition.jl:207-252), quality = codelength
+(src/FlowPartition.jl:191-198).
+
+This engine re-derives it in the bulk multi-greedy discipline used by
+operators/louvain.py (the reference's own parallel variant,
+src/MultiGreedy.jl:1-34):
+
+ 1. **Distributed move phase**: one shuffle builds, for every vertex u
+    and neighbor community c, the flow u sends to c
+    (t_uc = w(u→c)/2m). Community stats (visit prob p_c, exit prob
+    q_c) fall out of the SAME table — q_c = Σ_{u∈c}(t_u − t_{u,cu}) —
+    so each sweep is one m-sized shuffle, one q-sized stats agg, one
+    membership write. The per-candidate codelength delta
+
+        ΔL(u→c) = Δplogp(Σq) − 2[Δplogp(q_cur) + Δplogp(q_new)]
+                  + Δplogp(q_cur+p_cur) + Δplogp(q_new+p_new)
+
+    with q_cur' = q_cur − t_u + 2·t_{u,cur},
+         q_new' = q_new + t_u − 2·t_{u,new},
+         p_cur' = p_cur − p_u, p_new' = p_new + p_u
+    is a column expression (the bulk form of diff_move,
+    src/FlowPartition.jl:147-188; the Σ_v plogp(p_v) term is constant
+    under moves). Best *negative* ΔL per vertex wins; swap conflicts
+    are broken by hash-parity gating as in louvain.py.
+ 2. **Collapse** by membership: coarse arcs = inter-community weights
+    (intra self-loops dropped — they never touch q or p), coarse
+    visit prob = community p_c carried forward; recurse.
+ 3. **Driver-local exact phase** below ``local_threshold`` edges:
+    faithful sequential greedy minimizing L (deterministic sweep
+    order), matching the reference at fixture scale.
+
+The directed-with-teleport objective is scored by
+objectives.map_equation_directed; its optimizer (teleport terms make
+Δq depend on community *sizes* too, src/DiFlowPartition.jl:218-302)
+is out of v1 scope.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.graph import (
+    canonicalize_undirected,
+    materialize_iter,
+    plogp,
+    vertices_of,
+)
+from .coarsen import from_coarser_partition, renumber_communities
+from .objectives import map_equation
+
+
+def _plogp(x: float) -> float:
+    return x * math.log(x) if x > 0 else 0.0
+
+
+# ----------------------------------------------------------------------
+# driver-local exact greedy (minimize L), used below local_threshold
+# ----------------------------------------------------------------------
+
+def _local_infomap(pairs, p, eps=1e-12, max_sweeps=100):
+    """Sequential greedy map-equation minimization on (u, v, t_uv)
+    arc-probability pairs (canonical u<=v, self-loops excluded) with
+    per-node visit probs ``p``. Returns dict id -> community.
+
+    Re-derives move_nodes! in minimize mode (src/Optimiser.jl:148-254 +
+    src/FlowPartition.jl:21-22,147-188) with deterministic order:
+    vertices in sorted id order, ties to the smallest community id.
+    Recurses on the collapsed flow graph while communities shrink
+    (src/FlowPartition.jl:207-252)."""
+    adj = defaultdict(dict)
+    nodes = set(p)
+    for u, v, t in pairs:
+        nodes.add(u)
+        nodes.add(v)
+        if u == v:
+            continue
+        adj[u][v] = adj[u].get(v, 0.0) + t
+        adj[v][u] = adj[v].get(u, 0.0) + t
+    t_out = {u: sum(adj[u].values()) for u in nodes}
+    comm = {u: u for u in nodes}
+    p_c = defaultdict(float)
+    q_c = defaultdict(float)
+    for u in nodes:
+        p_c[u] = p.get(u, 0.0)
+        q_c[u] = t_out[u]
+    sum_q = sum(q_c.values())
+
+    def dL(u, cu, c):
+        tu = t_out[u]
+        t_ucu = sum(t for v, t in adj[u].items() if comm[v] == cu)
+        t_uc = sum(t for v, t in adj[u].items() if comm[v] == c)
+        qcu2 = q_c[cu] - tu + 2.0 * t_ucu
+        qc2 = q_c[c] + tu - 2.0 * t_uc
+        sq2 = sum_q + (qcu2 - q_c[cu]) + (qc2 - q_c[c])
+        pu = p.get(u, 0.0)
+        return (
+            _plogp(sq2) - _plogp(sum_q)
+            - 2.0 * (_plogp(qcu2) + _plogp(qc2) - _plogp(q_c[cu]) - _plogp(q_c[c]))
+            + _plogp(qcu2 + p_c[cu] - pu) + _plogp(qc2 + p_c[c] + pu)
+            - _plogp(q_c[cu] + p_c[cu]) - _plogp(q_c[c] + p_c[c])
+        ), qcu2, qc2
+
+    improved_any = True
+    sweeps = 0
+    while improved_any and sweeps < max_sweeps:
+        improved_any = False
+        sweeps += 1
+        for u in sorted(nodes):
+            cu = comm[u]
+            cands = sorted({comm[v] for v in adj[u]} - {cu})
+            best = (0.0, cu, None, None)
+            for c in cands:
+                d, qcu2, qc2 = dL(u, cu, c)
+                if d < best[0] - eps:
+                    best = (d, c, qcu2, qc2)
+            if best[1] != cu:
+                _, c, qcu2, qc2 = best
+                sum_q += (qcu2 - q_c[cu]) + (qc2 - q_c[c])
+                q_c[cu], q_c[c] = qcu2, qc2
+                pu = p.get(u, 0.0)
+                p_c[cu] -= pu
+                p_c[c] += pu
+                comm[u] = c
+                improved_any = True
+
+    n_comms = len(set(comm.values()))
+    if n_comms < len(nodes):
+        agg = defaultdict(float)
+        cp = defaultdict(float)
+        for u in nodes:
+            cp[comm[u]] += p.get(u, 0.0)
+        for u, v, t in pairs:
+            a, b = comm[u], comm[v]
+            if a == b:
+                continue
+            lo, hi = (a, b) if a <= b else (b, a)
+            agg[(lo, hi)] += t
+        coarse = _local_infomap(
+            [(a, b, t) for (a, b), t in agg.items()], dict(cp),
+            eps=eps, max_sweeps=max_sweeps,
+        )
+        if len(set(coarse.values())) < n_comms:
+            comm = {u: coarse[comm[u]] for u in comm}
+    return comm
+
+
+# ----------------------------------------------------------------------
+# distributed bulk move phase
+# ----------------------------------------------------------------------
+
+def _infomap_sweep(arcs: DataFrame, memb: DataFrame, flows: DataFrame,
+                   parity: int, eps: float) -> DataFrame:
+    """One bulk ΔL-scoring sweep; returns (id, comm, moved).
+
+    ``arcs``: canonical (src, dst, t) inter-node arc probs (t = w/2m,
+    self-loops excluded). ``flows``: (id, p, t_out). One m-sized
+    shuffle (the t_uc gather); comm stats and Σq derive from it."""
+    mm = memb.select("id", F.col("comm").alias("c"))
+    sym = arcs.select("src", "dst", "t").unionByName(
+        arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "t")
+    )
+    # t(u → community of neighbor); materialized — reused by the stats
+    # agg AND the scoring join without re-shuffling m rows
+    t_to = materialize_iter(
+        sym.join(mm.select(F.col("id").alias("dst"), F.col("c").alias("nc")), "dst")
+        .groupBy(F.col("src").alias("id"), F.col("nc").alias("cand"))
+        .agg(F.sum("t").alias("t_uc"))
+    )
+    cur = mm.join(flows, "id")
+    cs = cur.select(F.col("id").alias("tid"), F.col("c").alias("tc"))
+    t_self = t_to.join(
+        cs, (t_to["id"] == cs["tid"]) & (t_to["cand"] == cs["tc"])
+    ).select(t_to["id"], F.col("t_uc").alias("t_ucu"))
+    per_u = cur.join(t_self, "id", "left").select(
+        "id", "c", "p", "t_out", F.coalesce("t_ucu", F.lit(0.0)).alias("t_ucu")
+    )
+    stats = per_u.groupBy(F.col("c").alias("sc")).agg(
+        F.sum("p").alias("p_c"),
+        F.sum(F.col("t_out") - F.col("t_ucu")).alias("q_c"),
+    )
+    stats = materialize_iter(stats)
+    sum_q = float(stats.agg(F.sum("q_c")).collect()[0][0] or 0.0)
+
+    cand = (
+        t_to.join(per_u, "id")
+        .filter(F.col("cand") != F.col("c"))
+        .join(stats.select(F.col("sc").alias("c"), F.col("p_c").alias("p_cur"),
+                           F.col("q_c").alias("q_cur")), "c")
+        .join(stats.select(F.col("sc").alias("cand"), F.col("p_c").alias("p_new"),
+                           F.col("q_c").alias("q_new")), "cand")
+    )
+    q_cur2 = F.col("q_cur") - F.col("t_out") + 2.0 * F.col("t_ucu")
+    q_new2 = F.col("q_new") + F.col("t_out") - 2.0 * F.col("t_uc")
+    sum_q2 = F.lit(sum_q) + (q_cur2 - F.col("q_cur")) + (q_new2 - F.col("q_new"))
+    dl = (
+        plogp(sum_q2) - F.lit(_plogp(sum_q))
+        - 2.0 * (plogp(q_cur2) + plogp(q_new2)
+                 - plogp(F.col("q_cur")) - plogp(F.col("q_new")))
+        + plogp(q_cur2 + F.col("p_cur") - F.col("p"))
+        + plogp(q_new2 + F.col("p_new") + F.col("p"))
+        - plogp(F.col("q_cur") + F.col("p_cur"))
+        - plogp(F.col("q_new") + F.col("p_new"))
+    )
+    best = (
+        cand.withColumn("dl", dl)
+        .groupBy("id")
+        .agg(
+            F.min_by("cand", F.struct(F.col("dl"), F.col("cand"))).alias("best_c"),
+            F.min("dl").alias("best_dl"),
+        )
+    )
+    new_c = (
+        F.when(
+            (F.col("best_dl") < -eps)
+            & (F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(parity)),
+            F.col("best_c"),
+        )
+        .otherwise(F.col("c"))
+    )
+    return mm.join(best, "id", "left").select(
+        "id", new_c.alias("comm"), (new_c != F.col("c")).alias("moved")
+    )
+
+
+def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
+                       max_sweeps: int, move_floor: float, ledger=None,
+                       level: int = 0) -> DataFrame:
+    from ..plans.iterstate import StateLoop, no_aqe
+
+    spark = arcs.sparkSession
+    verts = vertices_of(arcs)
+    loop = StateLoop(spark, f"infomap_l{level}", bucket_key="id", ledger=None)
+    memb = loop.init(verts.select("id", F.col("id").alias("comm")))
+    n = memb.count()
+    flows = flows.persist()
+    flows.count()
+    low_streak = 0
+    with no_aqe(spark):
+        for sweep in range(max_sweeps):
+            memb, got = loop.step(
+                _infomap_sweep(arcs, memb.select("id", "comm"), flows,
+                               sweep % 2, eps),
+                {"moved": F.sum(F.col("moved").cast("long"))},
+                write_cols=["id", "comm"],
+            )
+            moved = int(got.get("moved") or 0)
+            if ledger is not None:
+                ledger.record(sweep, {"level": level, "moved": moved})
+            if moved <= move_floor * n:
+                low_streak += 1
+                if low_streak >= 2:
+                    break
+            else:
+                low_streak = 0
+    flows.unpersist()
+    loop.cleanup(keep_final=True)
+    return memb.select("id", "comm")
+
+
+@dataclass
+class InfomapResult:
+    membership: DataFrame  # (id, comm) dense 1..q by decreasing size
+    codelength: float      # nats; lower is better
+    levels: int
+    history: list = field(default_factory=list)
+
+
+def infomap(
+    edges: DataFrame,
+    eps: float = 1e-10,
+    local_threshold: int = 300_000,
+    max_levels: int = 20,
+    max_sweeps: int = 30,
+    move_floor: float = 0.01,
+    ledger=None,
+) -> InfomapResult:
+    """Undirected Infomap over an edge table: minimize the map-equation
+    codelength (flow_partition + optimize_partition!,
+    src/FlowGraph.jl:9-35 + src/Optimiser.jl:112-133 in minimize mode).
+
+    Visit probs p_v = deg_w(v)/2m, arc probs t = w/2m — both fixed by
+    the level-0 graph; collapses carry p as community sums and keep
+    only inter-community arcs, so every level scores the SAME global L.
+    """
+    spark = edges.sparkSession
+    base_edges = materialize_iter(canonicalize_undirected(edges))
+    row = base_edges.agg(F.sum("weight").alias("m")).collect()[0]
+    m = float(row["m"] or 0.0)
+    if m <= 0:
+        memb = vertices_of(base_edges).select("id", F.col("id").alias("comm"))
+        return InfomapResult(renumber_communities(memb), 0.0, 0)
+
+    # level-0 flows: p from weighted degree (self-loops count 2w), arcs
+    # from non-self edges
+    sym_w = base_edges.select(F.col("src").alias("id"), "weight").unionByName(
+        base_edges.select(F.col("dst").alias("id"), "weight")
+    )
+    flows = sym_w.groupBy("id").agg((F.sum("weight") / (2 * m)).alias("p"))
+    arcs = (
+        base_edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", (F.col("weight") / (2 * m)).alias("t"))
+    )
+    t_out = (
+        arcs.select(F.col("src").alias("id"), "t")
+        .unionByName(arcs.select(F.col("dst").alias("id"), "t"))
+        .groupBy("id")
+        .agg(F.sum("t").alias("t_out"))
+    )
+    flows = flows.join(t_out, "id", "left").select(
+        "id", "p", F.coalesce("t_out", F.lit(0.0)).alias("t_out")
+    )
+
+    memb: DataFrame | None = None
+    history = []
+    levels = 0
+    cur_arcs, cur_flows = arcs, flows
+    for level in range(max_levels):
+        m_arcs = cur_arcs.count()
+        if m_arcs == 0:
+            break
+        if m_arcs <= local_threshold:
+            pairs = [(r.src, r.dst, r.t) for r in cur_arcs.collect()]
+            p = {r.id: r.p for r in cur_flows.collect()}
+            comm = _local_infomap(pairs, p, eps=eps)
+            lvl = spark.createDataFrame(
+                [(int(u), int(c)) for u, c in comm.items()], "id long, comm long"
+            )
+            memb = lvl if memb is None else from_coarser_partition(memb, lvl)
+            levels += 1
+            history.append({"level": level, "arcs": m_arcs, "mode": "local"})
+            break
+        lvl = _distributed_level(cur_arcs, cur_flows, eps, max_sweeps,
+                                 move_floor, ledger=ledger, level=level)
+        n_before = lvl.count()
+        n_after = lvl.select("comm").distinct().count()
+        memb = lvl if memb is None else from_coarser_partition(memb, lvl)
+        memb = materialize_iter(memb)
+        levels += 1
+        history.append({"level": level, "arcs": m_arcs, "mode": "distributed",
+                        "n": n_before, "q": n_after})
+        if n_after == n_before:
+            break
+        # collapse flow graph: inter-community arcs only
+        # (src/FlowPartition.jl:207-252); p_c by sum, t_out recomputed
+        mm = lvl.select("id", "comm")
+        joined = (
+            cur_arcs.join(mm.select(F.col("id").alias("src"),
+                                    F.col("comm").alias("cs")), "src")
+            .join(mm.select(F.col("id").alias("dst"),
+                            F.col("comm").alias("cd")), "dst")
+            .filter(F.col("cs") != F.col("cd"))
+        )
+        cur_arcs = materialize_iter(
+            joined.select(
+                F.least("cs", "cd").alias("src"),
+                F.greatest("cs", "cd").alias("dst"),
+                "t",
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("t").alias("t"))
+        )
+        p_c = (
+            cur_flows.join(mm, "id")
+            .groupBy(F.col("comm").alias("id"))
+            .agg(F.sum("p").alias("p"))
+        )
+        t_out_c = (
+            cur_arcs.select(F.col("src").alias("id"), "t")
+            .unionByName(cur_arcs.select(F.col("dst").alias("id"), "t"))
+            .groupBy("id")
+            .agg(F.sum("t").alias("t_out"))
+        )
+        cur_flows = p_c.join(t_out_c, "id", "left").select(
+            "id", "p", F.coalesce("t_out", F.lit(0.0)).alias("t_out")
+        )
+
+    if memb is None:
+        memb = vertices_of(base_edges).select("id", F.col("id").alias("comm"))
+    memb = renumber_communities(memb)
+    return InfomapResult(memb, map_equation(base_edges, memb), levels, history)

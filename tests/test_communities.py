@@ -39,6 +39,25 @@ def test_lpa_two_triangles_exact(spark):
     assert got == [1, 1, 1, 2, 2, 2]
 
 
+def test_lpa_unit_vote_path_matches_explicit(spark):
+    """The bare (src,dst) count-based gather must produce exactly the
+    labels of the explicit vote=1.0 sum-based gather."""
+    from pyspark.sql import functions as F
+
+    from communitydetection_jl_spark.functions.graph import symmetrize, vertices_of
+    from communitydetection_jl_spark.operators.lpa import lpa_superstep
+
+    edges, _ = fx.karate(spark)
+    labels = vertices_of(edges).select("id", F.col("id").alias("lbl"))
+    bare = symmetrize(edges).select("src", "dst")
+    voted = symmetrize(edges).select("src", "dst", F.lit(1.0).alias("vote"))
+    a = lpa_superstep(bare, labels).orderBy("id").collect()
+    b = lpa_superstep(voted, labels).orderBy("id").collect()
+    assert [(r.id, r.lbl, r.changed) for r in a] == [
+        (r.id, r.lbl, r.changed) for r in b
+    ]
+
+
 def test_lpa_ring_of_cliques(spark):
     edges, truth = fx.ring_of_cliques(spark)
     res = lpa(edges)
@@ -139,6 +158,11 @@ def test_nmi_matches_numpy_oracle(spark):
     assert nmi(ma, ma) == pytest.approx(1.0)
     assert 0.0 <= nvoi(ma, mb) <= 1.0
     assert nvoi(ma, ma) == pytest.approx(0.0, abs=1e-12)
+    from communitydetection_jl_spark.operators.compare import nminvoi
+
+    both = nminvoi(ma, mb)
+    assert both[0] == pytest.approx(nmi(ma, mb), abs=1e-12)
+    assert both[1] == pytest.approx(nvoi(ma, mb), abs=1e-12)
 
 
 def test_pair_counting_metrics(spark):
