@@ -68,38 +68,75 @@ def lpa_superstep(
     sticky: bool = True,
     active_parity: int | None = None,
 ) -> DataFrame:
-    """One gather/argmax superstep. ``sym_edges`` must carry (src, dst,
-    vote); ``labels`` is (id, lbl). Returns (id, lbl, changed, wants).
+    """One gather/argmax superstep. ``sym_edges`` is (src, dst, vote),
+    or bare (src, dst) for the unit-vote fast path — then votes are
+    row counts and the gather streams 16B int pairs instead of 24B
+    (the same bytes-per-message cut that fixed PageRank's scaling
+    efficiency). ``labels`` is (id, lbl); returns (id, lbl, changed,
+    wants).
 
     Kept as a standalone, SQL-checkable unit (the driver oracle runs
     the equivalent ANSI SQL); label_propagation() below fuses the same
     plan into its write job."""
     state = labels.select("id", "lbl")
-    gather = sym_edges.join(
-        state.withColumnRenamed("id", "dst"), "dst"
-    ).select(
-        F.col("src").alias("id"), "lbl", "vote", F.lit(False).alias("cur")
-    )
-    self_rows = state.select(
-        "id", "lbl", F.lit(0.0).alias("vote"), F.lit(True).alias("cur")
-    )
-    counts = (
-        gather.unionByName(self_rows)
-        .groupBy("id", "lbl")
-        .agg(F.sum("vote").alias("cnt"), F.max("cur").alias("cur"))
-    )
+    unit = "vote" not in sym_edges.columns
+    if unit:
+        gather = sym_edges.join(
+            state.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "lbl", F.lit(False).alias("cur"))
+        self_rows = state.select("id", "lbl", F.lit(True).alias("cur"))
+        # ONE exchange per superstep: hash-partitioning by id alone
+        # satisfies the clustering needs of BOTH the (id,lbl) count agg
+        # and the (id) argmax agg, so neither inserts its own shuffle
+        # (vs. two full-width exchanges with the default plan; map-side
+        # partial agg is no loss — early supersteps have near-distinct
+        # (id,lbl) pairs, late ones are frontier-filtered)
+        counts = (
+            gather.unionByName(self_rows)
+            .repartition("id")
+            .groupBy("id", "lbl")
+            .agg(
+                # the self row covers every vertex + flags cur, but is
+                # not a vote: subtract it from its own label's count
+                (F.count(F.lit(1)) - F.max(F.col("cur").cast("long"))).alias("cnt"),
+                F.max("cur").alias("cur"),
+            )
+        )
+    else:
+        gather = sym_edges.join(
+            state.withColumnRenamed("id", "dst"), "dst"
+        ).select(
+            F.col("src").alias("id"), "lbl", "vote", F.lit(False).alias("cur")
+        )
+        self_rows = state.select(
+            "id", "lbl", F.lit(0.0).alias("vote"), F.lit(True).alias("cur")
+        )
+        counts = (
+            gather.unionByName(self_rows)
+            .repartition("id")
+            .groupBy("id", "lbl")
+            .agg(F.sum("vote").alias("cnt"), F.max("cur").alias("cur"))
+        )
+    # argmax as max-of-struct (lexicographic: count, sticky flag,
+    # smallest-label) — a DeclarativeAggregate, so Spark keeps it in a
+    # whole-stage-codegen HashAggregate; max_by would force a
+    # SortAggregate that sorts the full 2m-row gather every superstep
     best = counts.groupBy("id").agg(
-        F.max_by(
-            "lbl",
+        F.max(
             F.struct(
                 F.col("cnt"),
                 (F.col("cur").cast("int") if sticky else F.lit(0)).alias("t1"),
                 (-F.col("lbl")).alias("t2"),
-            ),
-        ).alias("want_lbl"),
-        F.max_by("lbl", F.struct(F.col("cur").cast("int"), F.col("lbl"))).alias(
-            "cur_lbl"
-        ),
+                F.col("lbl").alias("lbl"),
+            )
+        ).alias("_want"),
+        F.max(
+            F.struct(F.col("cur").cast("int").alias("c"), F.col("lbl").alias("lbl"))
+        ).alias("_cur"),
+    ).select(
+        "id",
+        F.col("_want.lbl").alias("want_lbl"),
+        F.col("_cur.lbl").alias("cur_lbl"),
     )
     want = F.col("want_lbl")
     if active_parity is not None:
@@ -117,16 +154,20 @@ def lpa_superstep(
 
 
 def _vote_edges(edges: DataFrame, weighted: bool, cn_bonus: bool) -> DataFrame:
-    """Symmetrized edge view with a ``vote`` column."""
+    """Symmetrized edge view with a ``vote`` column — or bare
+    (src, dst) pairs in the default unit-vote case (votes become row
+    counts in lpa_superstep; 33% fewer bytes per gathered message)."""
     if cn_bonus:
         e = edge_common_neighbors(edges)  # (src, dst, weight, cn)
         e = e.select("src", "dst", (F.lit(1.0) + F.col("cn")).alias("vote"))
+    elif weighted:
+        e = with_weight(edges).select("src", "dst", F.col("weight").alias("vote"))
     else:
-        e = with_weight(edges).select(
-            "src", "dst", (F.col("weight") if weighted else F.lit(1.0)).alias("vote")
-        )
+        e = edges.select("src", "dst")
     rev = e.filter(F.col("src") != F.col("dst")).select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), "vote"
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *(
+            ["vote"] if "vote" in e.columns else []
+        )
     )
     return e.unionByName(rev)
 
