@@ -447,6 +447,14 @@ def q_infomap(spark, sf_dir):
     return infomap(_part_edges(spark, sf_dir)).membership
 
 
+def q_kclique(spark, sf_dir):
+    """3-clique percolation cover on the part graph (CPM; reference
+    kclique_percolation, src/kclique_percolation.jl:1-24)."""
+    from communitydetection_jl_spark.operators.kclique import kclique_percolation
+
+    return kclique_percolation(_part_edges(spark, sf_dir), k=3)
+
+
 def q_lang_prf(spark, sf_dir):
     """Per-class precision/recall/F1 of the heuristic language-id vs the
     documents table's lang column."""
@@ -503,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hlpa": q_hlpa,
         "map_equation": q_map_equation,
         "infomap": q_infomap,
+        "kclique": q_kclique,
         "lang_prf": q_lang_prf,
     }
 

@@ -137,6 +137,10 @@ def main() -> None:
     extras["pagerank_edges_per_sec_steady"] = round(
         web_m / max(_median(pr_res.iter_seconds), 1e-9), 1
     )
+    # full distribution + min ("steady-state floor": the achievable
+    # superstep absent box-level noise spikes) as scaling evidence
+    extras["pagerank_iter_seconds"] = [round(s, 2) for s in pr_res.iter_seconds]
+    extras["pagerank_superstep_min_sec"] = round(min(pr_res.iter_seconds), 3)
 
     lpa_res = timed("web_lpa", lambda: lpa(
         web_edges, max_iter=lpa_max, mode=bench_mode))
@@ -149,6 +153,8 @@ def main() -> None:
     extras["lpa_edges_per_sec_steady"] = round(
         2 * web_m / max(_median(lpa_res.iter_seconds), 1e-9), 1
     )
+    extras["lpa_iter_seconds"] = [round(s, 2) for s in lpa_res.iter_seconds]
+    extras["lpa_superstep_min_sec"] = round(min(lpa_res.iter_seconds), 3)
 
     timed("web_components", lambda: connected_components(
         web_edges, mode=bench_mode).count())
