@@ -113,6 +113,11 @@ def main() -> None:
         base = os.environ.get("SPARK_GRAFT_STATE_DIR") or tempfile.gettempdir()
         epath = os.path.join(base, f"bench_edges_{os.getpid()}")
         e.repartition(cpus, "src").write.mode("overwrite").parquet(epath)
+        # drop ALL construction residue (densify's persisted dim, cached
+        # frames) before the measured supersteps: a few GB of tenured
+        # block-manager data taxes every GC of the superstep loop
+        # (measured: +50% on the 16-core PageRank superstep median)
+        spark.catalog.clearCache()
         e = spark.read.parquet(epath)
         return e, e.count()
 
