@@ -390,23 +390,33 @@ def q_louvain_cpm(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs in md5 base-hash mode — every stage
+    (shingle, permute, band, bucket, verify) reproduced by the DuckDB
+    oracle with the same literal (a,b) coefficients."""
     from communitydetection_jl_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+    out = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7, base_hash="md5")
+    return _r6(out, "est_jaccard")
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs, md5 base-hash mode (oracled)."""
     from communitydetection_jl_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=6, base_hash="md5")
 
 
 def q_lsh_near_vectors(spark, sf_dir):
+    """Hyperplane-LSH near pairs over double-cast embeddings: both
+    engines accumulate the same float32 inputs left-to-right in double,
+    so sign bits and cosines are bit-identical and the bucket structure
+    is exactly reproducible in SQL."""
     from communitydetection_jl_spark.operators.ann import lsh_near_pairs
 
-    vec = _emb(spark, sf_dir)
-    dim = len(vec.select("embedding").first()[0])
-    out = lsh_near_pairs(vec, dim=dim, threshold=0.9)
+    vec = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = lsh_near_pairs(vec, dim=64, threshold=0.45)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
 
 
@@ -517,6 +527,230 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------- oracles --
+
+_NORM_SQL = r"TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))"
+_MD5_60 = "('0x'||SUBSTRING(MD5({x}),1,15))::BIGINT"
+
+
+def _minhash_oracle() -> str:
+    """MinHash+LSH pairs, md5 base-hash mode: the identical shingle →
+    (a·h+b) mod p → band → bucket → verify pipeline in ANSI SQL, with
+    the same seeded coefficients inlined as literals."""
+    from communitydetection_jl_spark.operators.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(64, 42)
+    perms = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+    return f"""
+        WITH perms(i, a, b) AS (VALUES {perms}),
+        docs0 AS (SELECT doc_id AS id, string_split({_NORM_SQL}, ' ') AS toks
+                  FROM documents),
+        sh0 AS (SELECT id, toks,
+                       UNNEST(range(0, GREATEST(LEN(toks) - 3, 0) + 1)) AS i
+                FROM docs0),
+        sh AS (SELECT DISTINCT id, array_to_string(toks[i+1:i+3], ' ') AS s FROM sh0),
+        hs AS (SELECT id, {_MD5_60.format(x='s')} % 2147483647 AS h FROM sh),
+        m AS (SELECT id, p.i, MIN((p.a * hs.h + p.b) % 2147483647) AS mh
+              FROM hs CROSS JOIN perms p GROUP BY 1, 2),
+        b AS (SELECT id, i // 4 AS band, STRING_AGG(mh::VARCHAR, '_' ORDER BY i) AS bh
+              FROM m GROUP BY 1, 2),
+        ok AS (SELECT band, bh FROM b GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+        bb AS (SELECT b.* FROM b JOIN ok USING (band, bh)),
+        cand AS (SELECT DISTINCT la.id AS id_a, lb.id AS id_b
+                 FROM bb la JOIN bb lb USING (band, bh) WHERE la.id < lb.id),
+        est AS (SELECT c.id_a, c.id_b,
+                       SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 64.0 AS ej
+                FROM cand c
+                JOIN m ma ON ma.id = c.id_a
+                JOIN m mb ON mb.id = c.id_b AND mb.i = ma.i
+                GROUP BY 1, 2)
+        SELECT id_a, id_b, ROUND(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.7
+    """
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id AS id,
+                             UNNEST(string_split({_NORM_SQL}, ' ')) AS t
+                      FROM documents),
+        hs AS (SELECT id, {_MD5_60.format(x='t')} AS h FROM toks),
+        votes AS (SELECT id, r.i,
+                         SUM(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM hs CROSS JOIN (SELECT UNNEST(range(0, 60)) AS i) r
+                  GROUP BY 1, 2),
+        sim AS (SELECT id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sh
+                FROM votes GROUP BY 1),
+        bnd AS (SELECT id, sh, jj.j, (sh >> (jj.j * 16)) & 65535 AS key
+                FROM sim CROSS JOIN (SELECT UNNEST(range(0, 4)) AS j) jj),
+        ok AS (SELECT j, key FROM bnd GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+        bb AS (SELECT bnd.* FROM bnd JOIN ok USING (j, key)),
+        cand AS (SELECT DISTINCT la.id AS id_a, la.sh AS h_a,
+                                 lb.id AS id_b, lb.sh AS h_b
+                 FROM bb la JOIN bb lb USING (j, key) WHERE la.id < lb.id)
+        SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(h_a, h_b)) <= 6
+    """
+
+
+_TOKS_SQL = r"""list_distinct(list_filter(
+    string_split_regex(LOWER(text), '[^\p{L}0-9'']+'), t -> t <> ''))"""
+
+
+def _lang_id_oracle() -> str:
+    from communitydetection_jl_spark.operators.textstats import _STOPWORDS
+
+    rows = ", ".join(
+        "('%s', [%s])" % (lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in _STOPWORDS.items()
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id AS id, {_TOKS_SQL} AS tk FROM documents),
+        scores AS (SELECT id, sw.l,
+                          LEN(list_intersect(tk, sw.sw)) / GREATEST(LEN(tk), 1) AS s
+                   FROM toks CROSS JOIN (VALUES {rows}) AS sw(l, sw)),
+        best AS (SELECT id, l, s,
+                        ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, l DESC) AS rn
+                 FROM scores)
+        SELECT id, CASE WHEN s > 0 THEN l ELSE 'und' END AS pred_lang
+        FROM best WHERE rn = 1
+    """
+
+
+def _lang_prf_oracle() -> str:
+    return f"""
+        WITH pred AS ({_lang_id_oracle()}),
+        truth AS (SELECT doc_id AS id, lang AS t FROM documents),
+        ct AS (SELECT truth.t, pred.pred_lang AS p, COUNT(*) AS nij
+               FROM truth JOIN pred USING (id) GROUP BY 1, 2),
+        tt AS (SELECT t AS label, SUM(nij) AS support FROM ct GROUP BY 1),
+        pt AS (SELECT p AS label, SUM(nij) AS predicted FROM ct GROUP BY 1),
+        tpc AS (SELECT t AS label, nij AS tp FROM ct WHERE t = p),
+        base AS (SELECT COALESCE(tt.label, pt.label) AS label,
+                        COALESCE(tpc.tp, 0) AS tp,
+                        COALESCE(pt.predicted, 0) - COALESCE(tpc.tp, 0) AS fp,
+                        COALESCE(tt.support, 0) - COALESCE(tpc.tp, 0) AS fn
+                 FROM tt FULL OUTER JOIN pt ON tt.label = pt.label
+                 LEFT JOIN tpc ON COALESCE(tt.label, pt.label) = tpc.label),
+        pr AS (SELECT label, tp, fp, fn,
+                      CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS prec,
+                      CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS rec
+               FROM base)
+        SELECT label, tp, fp, fn,
+               ROUND(prec, 6) AS precision, ROUND(rec, 6) AS recall,
+               ROUND(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
+                          ELSE 0.0 END, 6) AS f_beta
+        FROM pr
+    """
+
+
+def _map_equation_oracle() -> str:
+    return f"""
+        WITH e AS ({_PART_EDGES_SQL}),
+        m AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+        tot AS (SELECT SUM(weight) AS m2 FROM e),
+        j AS (SELECT e.src, e.dst, e.weight, ma.comm AS cs, mb.comm AS cd
+              FROM e JOIN m ma ON e.src = ma.id JOIN m mb ON e.dst = mb.id),
+        symw AS (SELECT src AS id, weight FROM j UNION ALL SELECT dst, weight FROM j),
+        pv AS (SELECT id, SUM(weight) / (2 * (SELECT m2 FROM tot)) AS p
+               FROM symw GROUP BY 1),
+        s_pv AS (SELECT SUM(CASE WHEN p > 0 THEN p * LN(p) ELSE 0 END) AS v FROM pv),
+        pc AS (SELECT m.comm, SUM(pv.p) AS p_c FROM pv JOIN m ON pv.id = m.id GROUP BY 1),
+        qx AS (SELECT comm, SUM(w) / (2 * (SELECT m2 FROM tot)) AS q_c FROM (
+                 SELECT cs AS comm, weight AS w FROM j WHERE cs <> cd
+                 UNION ALL SELECT cd, weight FROM j WHERE cs <> cd) GROUP BY 1),
+        cst AS (SELECT pc.p_c, COALESCE(qx.q_c, 0.0) AS q_c
+                FROM pc LEFT JOIN qx USING (comm)),
+        agg AS (SELECT SUM(q_c) AS sq,
+                       SUM(CASE WHEN q_c > 0 THEN q_c * LN(q_c) ELSE 0 END) AS s_q,
+                       SUM(CASE WHEN q_c + p_c > 0 THEN (q_c + p_c) * LN(q_c + p_c) ELSE 0 END) AS s_qp
+                FROM cst)
+        SELECT ROUND((CASE WHEN sq > 0 THEN sq * LN(sq) ELSE 0 END)
+                     - 2 * s_q - (SELECT v FROM s_pv) + s_qp, 6) AS codelength
+        FROM agg
+    """
+
+
+def _pagerank_full_oracle() -> str:
+    """Reference-semantics PageRank to convergence as a recursive CTE:
+    the engine's exact loop (uniform init, dangling mass as previous-
+    iteration scalar, L1 delta stop at 1e-8 / 100 iters). Self-marker
+    arcs deliver each vertex's previous p (and the loop-carried dm /
+    delta scalars) through the single allowed recursive reference."""
+    return f"""
+        WITH RECURSIVE
+        e AS ({_ORDER_EDGES_SQL}),
+        od AS (SELECT src AS id, COUNT(*) AS odeg FROM e GROUP BY 1),
+        v AS (SELECT DISTINCT id FROM
+                (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+        vd AS (SELECT v.id, COALESCE(od.odeg, 0) AS odeg FROM v LEFT JOIN od USING (id)),
+        nn AS (SELECT COUNT(*) AS n,
+                      SUM(CASE WHEN odeg = 0 THEN 1 ELSE 0 END) AS nd FROM vd),
+        arcs AS (SELECT e.src, e.dst, 1.0 / od.odeg AS t, FALSE AS mark, FALSE AS dang
+                 FROM e JOIN od ON e.src = od.id
+                 UNION ALL
+                 SELECT id, id, 0.0, TRUE, odeg = 0 FROM vd),
+        it AS (
+          SELECT 0 AS k, id, 1.0 / (SELECT n FROM nn) AS p,
+                 (SELECT nd FROM nn) * 1.0 / (SELECT n FROM nn) AS dm,
+                 1e18 AS delta
+          FROM vd
+          UNION ALL
+          SELECT k, id, p,
+                 SUM(CASE WHEN isdang THEN p ELSE 0 END) OVER () AS dm,
+                 SUM(ABS(p - p_old)) OVER () AS delta
+          FROM (
+            SELECT id, k + 1 AS k,
+                   0.15 / (SELECT n FROM nn) + 0.85 * dm / (SELECT n FROM nn)
+                     + 0.85 * msg AS p,
+                   p_old, isdang
+            FROM (
+              SELECT a.dst AS id,
+                     MAX(CASE WHEN a.mark THEN it.k END) AS k,
+                     SUM(CASE WHEN NOT a.mark THEN a.t * it.p ELSE 0 END) AS msg,
+                     MAX(CASE WHEN a.mark THEN it.p END) AS p_old,
+                     BOOL_OR(a.mark AND a.dang) AS isdang,
+                     MAX(CASE WHEN a.mark THEN it.dm END) AS dm
+              FROM it JOIN arcs a ON it.id = a.src
+              WHERE it.delta > 1e-8 AND it.k < 100
+              GROUP BY a.dst) lvl) nxt
+        )
+        SELECT id, ROUND(p, 9) AS pagerank
+        FROM it WHERE k = (SELECT MAX(k) FROM it)
+    """
+
+
+def _lsh_near_vectors_oracle() -> str:
+    """Hyperplane-LSH near pairs with the engine's seeded planes inlined
+    as literals; both engines do left-to-right double accumulation over
+    the same float32 inputs, so signatures/cosines are bit-identical."""
+    from communitydetection_jl_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 16, 42)
+    plane_rows = ", ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(x)) for x in p))
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH pl(i, pv) AS (VALUES {plane_rows}),
+        v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+        bits AS (SELECT v.id, pl.i,
+                        CASE WHEN list_inner_product(v.emb, pl.pv) > 0
+                             THEN (1::BIGINT << pl.i) ELSE 0 END AS b
+                 FROM v CROSS JOIN pl),
+        sig AS (SELECT id, SUM(b) AS sig FROM bits GROUP BY 1),
+        bnd AS (SELECT s.id, jj.j, (s.sig >> (jj.j * 4)) & 15 AS key
+                FROM sig s CROSS JOIN (SELECT UNNEST(range(0, 4)) AS j) jj),
+        ok AS (SELECT j, key FROM bnd GROUP BY 1, 2 HAVING COUNT(*) <= 2000),
+        bb AS (SELECT bnd.* FROM bnd JOIN ok USING (j, key)),
+        cand AS (SELECT DISTINCT la.id AS id_a, lb.id AS id_b
+                 FROM bb la JOIN bb lb USING (j, key) WHERE la.id < lb.id),
+        cos AS (SELECT c.id_a, c.id_b,
+                       list_inner_product(a.emb, b.emb) /
+                       GREATEST(SQRT(list_inner_product(a.emb, a.emb))
+                                * SQRT(list_inner_product(b.emb, b.emb)), 1e-30) AS cosine
+                FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b)
+        SELECT id_a, id_b, ROUND(cosine, 4) AS cosine_r FROM cos WHERE cosine >= 0.45
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -751,4 +985,11 @@ def oracle_sql() -> dict[str, str]:
             v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
             SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS nid FROM v
         """,
+        "minhash_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        "lang_id": _lang_id_oracle(),
+        "lang_prf": _lang_prf_oracle(),
+        "map_equation": _map_equation_oracle(),
+        "pagerank_full": _pagerank_full_oracle(),
+        "lsh_near_vectors": _lsh_near_vectors_oracle(),
     }

@@ -34,6 +34,23 @@ def normalized_text(col):
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def base_hash64(col, base_hash: str = "xxhash64"):
+    """64-bit-ish hash of a string column.
+
+    ``xxhash64`` (default): fastest JVM path, the 100 TB default.
+    ``md5``: first 15 hex digits of md5 as a 60-bit positive long —
+    bit-for-bit reproducible in DuckDB (``('0x'||substr(md5(x),1,15))
+    ::BIGINT``), so md5-mode pipelines are oracle-checkable end to end.
+    Same collision behavior at corpus scale; ~3× slower per token, so
+    reserve it for verification runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    if base_hash == "xxhash64":
+        return F.xxhash64(c)
+    if base_hash == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
 def content_hash(col):
     return F.xxhash64(normalized_text(col))
 
@@ -72,6 +89,15 @@ def _shingles(text_col: str, shingle_len: int):
     )
 
 
+def minhash_coeffs(num_hashes: int, seed: int):
+    """The (a, b) permutation coefficients, shared by the Spark plan
+    and the SQL-oracle builder so both engines hash identically."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -79,17 +105,18 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_len: int = 3,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) — k-permutation minhash over word shingles.
 
-    Each permutation is (a*h + b) mod p (p = 2^61-1) over the shingle's
-    xxhash64; the k minima are k aggregate expressions in one groupBy."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+    Each permutation is (a*h + b) mod p (p = 2^31-1) over the shingle's
+    base hash; the k minima are k aggregate expressions in one groupBy.
+    ``base_hash="md5"`` makes the whole signature reproducible in ANSI
+    SQL (driver oracle); xxhash64 is the faster production default."""
+    a, b = minhash_coeffs(num_hashes, seed)
     sh = (
         docs.select(F.col(id_col).alias("id"), F.explode(_shingles(text_col, shingle_len)).alias("s"))
-        .select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h"))
+        .select("id", F.pmod(base_hash64("s", base_hash), F.lit(_MERSENNE)).alias("h"))
     )
     aggs = [
         F.min(F.pmod(F.lit(int(a[i])) * F.col("h") + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(f"m{i}")
@@ -99,11 +126,17 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def _banded(sig: DataFrame, num_bands: int, rows_per_band: int) -> DataFrame:
+def _banded(sig: DataFrame, num_bands: int, rows_per_band: int, base_hash: str = "xxhash64") -> DataFrame:
     bands = []
     for j in range(num_bands):
         cols = [F.col("sig")[i] for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
-        bands.append(F.struct(F.lit(j).alias("band"), F.xxhash64(*cols).alias("bh")))
+        if base_hash == "xxhash64":
+            bh = F.xxhash64(*cols)  # 8-byte band key: cheapest shuffle
+        else:
+            # md5/oracle mode: the raw concatenated minhash values ARE
+            # the band key (no hashing needed for correctness; portable)
+            bh = F.concat_ws("_", *cols)
+        bands.append(F.struct(F.lit(j).alias("band"), bh.alias("bh")))
     return sig.select(
         "id", "sig", F.explode(F.array(*bands)).alias("b")
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
@@ -119,14 +152,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_bucket: int = 1000,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
     est_jaccard = fraction of agreeing minhash components."""
     assert num_hashes % num_bands == 0
     rows = num_hashes // num_bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len, seed)
-    banded = _banded(sig, num_bands, rows)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len, seed, base_hash)
+    banded = _banded(sig, num_bands, rows, base_hash)
     sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bs"))
     banded = banded.join(
         sizes.filter(F.col("bs") <= max_bucket).select("band", "bh"),
@@ -155,13 +189,21 @@ def minhash_lsh_pairs(
 # SimHash
 # ----------------------------------------------------------------------
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_hash: str = "xxhash64",
+) -> DataFrame:
     """(id, simhash: long) 64-bit SimHash: per-bit majority vote of
-    token hashes — 64 JVM-side aggregate expressions, no UDF."""
+    token hashes — 64 JVM-side aggregate expressions, no UDF.
+
+    ``base_hash="md5"`` uses the 60-bit md5-prefix hash (bits 60-63
+    then always vote 0), reproducible in the DuckDB oracle."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("t"),
-    ).select("id", F.xxhash64("t").alias("h"))
+    ).select("id", base_hash64("t", base_hash).alias("h"))
     bit_aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -186,11 +228,12 @@ def simhash_pairs(
     max_hamming: int = 3,
     num_bands: int = 4,
     max_bucket: int = 1000,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into ``num_bands``
     16-bit keys (any pair within hamming ≤ num_bands-1 shares ≥1 band),
     verify with bit_count(xor) ≤ max_hamming."""
-    sh = simhash(docs, id_col, text_col)
+    sh = simhash(docs, id_col, text_col, base_hash)
     width = 64 // num_bands
     bands = F.array(
         *[
