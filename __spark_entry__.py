@@ -372,9 +372,16 @@ def q_pagerank_full(spark, sf_dir):
 
 
 def q_lpa_full(spark, sf_dir):
+    """Full semi-synchronous LPA to fixpoint with the id-parity move
+    gate (parity_expr=pmod(id,2)) so the entire run — gather, sticky
+    argmax, parity schedule, convergence, first-seen renumber — is
+    reproduced by a recursive-CTE oracle."""
     from communitydetection_jl_spark.operators.lpa import lpa
 
-    return lpa(_part_edges(spark, sf_dir), max_iter=30).labels
+    return lpa(
+        _part_edges(spark, sf_dir), max_iter=30,
+        parity_expr=F.pmod(F.col("id"), F.lit(2)),
+    ).labels
 
 
 def q_louvain(spark, sf_dir):
@@ -718,6 +725,53 @@ def _pagerank_full_oracle() -> str:
     """
 
 
+def _lpa_full_oracle() -> str:
+    """The engine's whole semi-sync LPA loop as a recursive CTE:
+    self-marker rows smuggle each listener's current label (and the
+    loop-carried moved/wants totals) through the single recursive
+    reference; sticky argmax = ORDER BY (count DESC, cur DESC, lbl)."""
+    return f"""
+        WITH RECURSIVE
+        e AS ({_PART_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        v AS (SELECT DISTINCT id FROM
+                (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+        aug AS (SELECT src, dst, FALSE AS mark FROM sym
+                UNION ALL SELECT id, id, TRUE FROM v),
+        it AS (
+          SELECT 0 AS k, id, id AS lbl,
+                 1::BIGINT AS moved, 0::BIGINT AS wants
+          FROM v
+          UNION ALL
+          SELECT k, id, new_lbl AS lbl,
+                 SUM(CASE WHEN new_lbl <> cur_lbl THEN 1 ELSE 0 END) OVER () AS moved,
+                 SUM(CASE WHEN want_lbl <> cur_lbl THEN 1 ELSE 0 END) OVER () AS wants
+          FROM (
+            SELECT id, k + 1 AS k,
+                   CASE WHEN id % 2 = k % 2 THEN lbl ELSE cur_lbl END AS new_lbl,
+                   lbl AS want_lbl, cur_lbl
+            FROM (
+              SELECT id, lbl, k, c, cur,
+                     MAX(CASE WHEN cur THEN lbl END) OVER (PARTITION BY id) AS cur_lbl,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY c DESC, cur DESC, lbl ASC) AS rn
+              FROM (
+                SELECT a.src AS id, it.lbl, MAX(it.k) AS k,
+                       COUNT(CASE WHEN NOT a.mark THEN 1 END) AS c,
+                       BOOL_OR(a.mark) AS cur
+                FROM it JOIN aug a ON it.id = a.dst
+                WHERE (it.moved > 0 OR it.wants > 0) AND it.k < 30
+                GROUP BY a.src, it.lbl) cnt) pick
+            WHERE rn = 1) mv
+        ),
+        fin AS (SELECT id, lbl FROM it WHERE k = (SELECT MAX(k) FROM it)),
+        firsts AS (SELECT lbl, MIN(id) AS fid FROM fin GROUP BY 1),
+        mapping AS (SELECT lbl, ROW_NUMBER() OVER (ORDER BY fid) AS comm FROM firsts)
+        SELECT fin.id, CAST(mapping.comm AS BIGINT) AS comm
+        FROM fin JOIN mapping USING (lbl)
+    """
+
+
 def _lsh_near_vectors_oracle() -> str:
     """Hyperplane-LSH near pairs with the engine's seeded planes inlined
     as literals; both engines do left-to-right double accumulation over
@@ -992,4 +1046,5 @@ def oracle_sql() -> dict[str, str]:
         "map_equation": _map_equation_oracle(),
         "pagerank_full": _pagerank_full_oracle(),
         "lsh_near_vectors": _lsh_near_vectors_oracle(),
+        "lpa_full": _lpa_full_oracle(),
     }

@@ -64,9 +64,9 @@ class LPAResult:
 def lpa_superstep(
     sym_edges: DataFrame,
     labels: DataFrame,
-    weighted: bool = False,
     sticky: bool = True,
     active_parity: int | None = None,
+    parity_expr=None,
 ) -> DataFrame:
     """One gather/argmax superstep. ``sym_edges`` is (src, dst, vote),
     or bare (src, dst) for the unit-vote fast path — then votes are
@@ -140,8 +140,13 @@ def lpa_superstep(
     )
     want = F.col("want_lbl")
     if active_parity is not None:
+        # which half of the vertices may move this superstep; the
+        # default hash parity is structure-blind, while an explicit
+        # parity_expr (e.g. pmod(id, 2)) makes the whole run
+        # SQL-oracle-reproducible (driver correctness gate)
+        pexpr = parity_expr if parity_expr is not None else F.pmod(F.xxhash64("id"), F.lit(2))
         new_lbl = F.when(
-            F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(active_parity), want
+            pexpr == F.lit(active_parity), want
         ).otherwise(F.col("cur_lbl"))
     else:
         new_lbl = want
@@ -186,6 +191,7 @@ def label_propagation(
     ledger=None,
     mode: str = "dir",
     state_name: str = "lpa_state",
+    parity_expr=None,
 ) -> LPAResult:
     """Run LPA to fixpoint. ``cn_bonus=True`` gives nsdlpa
     (src/label_propagation.jl:77-96); ``weighted=True`` uses edge
@@ -278,9 +284,9 @@ def label_propagation(
             stepped = lpa_superstep(
                 gather_sym,
                 state.select("id", "lbl"),
-                weighted=weighted,
                 sticky=sticky,
                 active_parity=parity,
+                parity_expr=parity_expr,
             ).join(state.select("id", "deg"), "id")
             state, got = loop.step(
                 stepped,
