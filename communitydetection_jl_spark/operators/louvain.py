@@ -144,6 +144,141 @@ def _local_louvain(pairs, node_sizes=None, eps=1e-10, max_sweeps=100,
 
 
 # ----------------------------------------------------------------------
+# driver-local exact greedy for the set-based objectives
+# (Significance / Surprise: gains are nonlinear in community size and
+# inner weight, so they need (n_c, m_c) bookkeeping, not just Σk)
+# ----------------------------------------------------------------------
+
+def _kl(q, p):
+    import math as _m
+
+    out = 0.0
+    if q > 0 and p > 0:
+        out += q * _m.log(q / p)
+    if q < 1 and p < 1:
+        out += (1 - q) * _m.log((1 - q) / (1 - p))
+    return out
+
+
+def _local_setbased(pairs, node_sizes=None, eps=1e-10, max_sweeps=100,
+                    objective="significance", density=None, n_total=None,
+                    m_total=None):
+    """Sequential greedy for Significance (Σ_c C(n_c,2)·KL(p_c‖p),
+    src/MPartition.jl:536-604) and Surprise (m·KL(q‖⟨q⟩),
+    src/MPartition.jl:333-385). ``density``/``n_total``/``m_total`` are
+    BASE-graph scalars so the objective keeps its meaning through
+    collapses (node sizes carry C(n_c,2); weights carry edge counts).
+
+    Deterministic order (sorted ids, smallest-community tie-break);
+    returns dict id -> community."""
+    adj = defaultdict(dict)
+    selfw = defaultdict(float)
+    nodes = set()
+    for u, v, w in pairs:
+        nodes.add(u)
+        nodes.add(v)
+        if u == v:
+            selfw[u] += w
+        else:
+            adj[u][v] = adj[u].get(v, 0.0) + w
+            adj[v][u] = adj[v].get(u, 0.0) + w
+    ns = {u: float((node_sizes or {}).get(u, 1.0)) for u in nodes}
+    comm = {u: u for u in nodes}
+    cn = defaultdict(float)   # community total node size
+    cm = defaultdict(float)   # community inner weight (incl self-loops)
+    for u in nodes:
+        cn[comm[u]] += ns[u]
+        cm[comm[u]] += selfw[u]
+    m = m_total if m_total is not None else sum(w for _, _, w in pairs)
+    n = n_total if n_total is not None else sum(ns.values())
+    poss = n * (n - 1) / 2.0
+    p = density if density is not None else (m / poss if poss else 0.0)
+
+    def poss_c(x):
+        return x * (x - 1) / 2.0
+
+    def sig_term(nc, mc):
+        # mirrors objectives._kl_expr guards exactly (no clamping)
+        pc = poss_c(nc)
+        return pc * _kl(mc / pc, p) if pc > 0 else 0.0
+
+    def surprise_val(m_in, poss_in):
+        if m <= 0 or poss <= 0:
+            return 0.0
+        return m * _kl(m_in / m, poss_in / poss)
+
+    m_in = sum(cm.values())
+    poss_in = sum(poss_c(x) for x in cn.values())
+
+    order = sorted(nodes)
+    improved_any = True
+    sweeps = 0
+    while improved_any and sweeps < max_sweeps:
+        improved_any = False
+        sweeps += 1
+        for u in order:
+            cu = comm[u]
+            w_to = defaultdict(float)
+            for v, w in adj[u].items():
+                w_to[comm[v]] += w
+            s, sw = ns[u], selfw[u]
+            best_c, best_gain = cu, 0.0
+            for c in sorted(set(w_to) | {cu}):
+                if c == cu:
+                    continue
+                if objective == "significance":
+                    gain = (
+                        sig_term(cn[cu] - s, cm[cu] - w_to.get(cu, 0.0) - sw)
+                        - sig_term(cn[cu], cm[cu])
+                        + sig_term(cn[c] + s, cm[c] + w_to.get(c, 0.0) + sw)
+                        - sig_term(cn[c], cm[c])
+                    )
+                else:  # surprise
+                    m_in2 = m_in - w_to.get(cu, 0.0) + w_to.get(c, 0.0)
+                    poss_in2 = (
+                        poss_in - poss_c(cn[cu]) + poss_c(cn[cu] - s)
+                        - poss_c(cn[c]) + poss_c(cn[c] + s)
+                    )
+                    gain = surprise_val(m_in2, poss_in2) - surprise_val(m_in, poss_in)
+                if gain > best_gain + eps or (
+                    abs(gain - best_gain) <= eps and best_c != cu and c < best_c
+                ):
+                    if gain > eps:
+                        best_c, best_gain = c, gain
+            if best_c != cu:
+                m_in += -w_to.get(cu, 0.0) + w_to.get(best_c, 0.0)
+                poss_in += (
+                    -poss_c(cn[cu]) + poss_c(cn[cu] - s)
+                    - poss_c(cn[best_c]) + poss_c(cn[best_c] + s)
+                )
+                cn[cu] -= s
+                cm[cu] -= w_to.get(cu, 0.0) + sw
+                cn[best_c] += s
+                cm[best_c] += w_to.get(best_c, 0.0) + sw
+                comm[u] = best_c
+                improved_any = True
+
+    n_comms = len(set(comm.values()))
+    if n_comms < len(nodes):
+        agg = defaultdict(float)
+        csize = defaultdict(float)
+        for u in nodes:
+            csize[comm[u]] += ns[u]
+        for u, v, w in pairs:
+            a, b = comm[u], comm[v]
+            lo, hi = (a, b) if a <= b else (b, a)
+            agg[(lo, hi)] += w
+        coarse = _local_setbased(
+            [(a, b, w) for (a, b), w in agg.items()],
+            node_sizes=dict(csize), eps=eps, max_sweeps=max_sweeps,
+            objective=objective, density=p, n_total=n, m_total=m,
+        )
+        if len(set(coarse.values())) < n_comms:
+            comm = {u: coarse[comm[u]] for u in comm}
+    return comm
+
+
+# ----------------------------------------------------------------------
 # distributed bulk move phase
 # ----------------------------------------------------------------------
 
@@ -214,11 +349,130 @@ def _move_sweep(edges: DataFrame, memb: DataFrame, aux: DataFrame,
     return upd
 
 
+def _kl_col(q, p):
+    """Binary KL as a column expression (objectives._kl_expr twin)."""
+    t1 = F.when((q > 0) & (p > 0), q * F.log(q / p)).otherwise(F.lit(0.0))
+    t2 = F.when((q < 1) & (p < 1), (1 - q) * F.log((1 - q) / (1 - p))).otherwise(F.lit(0.0))
+    return t1 + t2
+
+
+def _move_sweep_set(edges: DataFrame, memb: DataFrame, sizes: DataFrame,
+                    parity: int, eps: float, objective: str,
+                    density: float, n_total: float, m_total: float) -> DataFrame:
+    """One bulk sweep for the set-based objectives (Significance /
+    Surprise): per (vertex, neighbor-community) candidate the exact
+    objective delta is a column expression over (w_to(cand), w_to(cur),
+    candidate/current community (size, inner-weight), node size,
+    self-weight) — one extra groupBy vs the linear sweep, still one
+    scoring shuffle. Gains re-derived from the quality formulas
+    (src/MPartition.jl:333-385 surprise, :536-604 significance)."""
+    mm = memb.select("id", F.col("comm").alias("c"))
+    e = with_weight(edges)
+    eloops = e.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("id"), F.col("weight").alias("sw"))
+    selfw = eloops.groupBy("id").agg(F.sum("sw").alias("sw"))
+    e = e.filter(F.col("src") != F.col("dst"))
+    sym = e.select("src", "dst", "weight").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    w_to = (
+        sym.join(mm.withColumnRenamed("id", "dst").withColumnRenamed("c", "nc"), "dst")
+        .groupBy(F.col("src").alias("id"), F.col("nc").alias("cand"))
+        .agg(F.sum("weight").alias("w_uc"))
+    )
+    # per-community (total node size, inner weight incl. self-loops)
+    node = mm.join(sizes, "id").join(selfw, "id", "left").select(
+        "id", "c", F.col("nsize").alias("s"),
+        F.coalesce("sw", F.lit(0.0)).alias("sw"))
+    inner_e = (
+        e.join(mm.withColumnRenamed("id", "src").withColumnRenamed("c", "ca"), "src")
+        .join(mm.withColumnRenamed("id", "dst").withColumnRenamed("c", "cb"), "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("comm")).agg(F.sum("weight").alias("wi"))
+    )
+    cstats = (
+        node.groupBy(F.col("c").alias("comm"))
+        .agg(F.sum("s").alias("cn"), F.sum("sw").alias("cw"))
+        .join(inner_e, "comm", "left")
+        .select("comm", "cn", (F.col("cw") + F.coalesce("wi", F.lit(0.0))).alias("cm"))
+    )
+    w_cur = w_to.join(mm, "id").filter(F.col("cand") == F.col("c")).select(
+        "id", F.col("w_uc").alias("w_ucur"))
+    cand = (
+        w_to.join(node, "id")
+        .filter(F.col("cand") != F.col("c"))
+        .join(w_cur, "id", "left")
+        .withColumn("w_ucur", F.coalesce("w_ucur", F.lit(0.0)))
+        .join(cstats.select(F.col("comm").alias("cand"),
+                            F.col("cn").alias("cn_c"), F.col("cm").alias("cm_c")), "cand")
+        .join(cstats.select(F.col("comm").alias("c"),
+                            F.col("cn").alias("cn_u"), F.col("cm").alias("cm_u")), "c")
+    )
+    P = F.lit(density)
+
+    def poss_c(x):
+        return x * (x - 1) / 2.0
+
+    if objective == "significance":
+        def sig(nc, mc):
+            pc = poss_c(nc)
+            return F.when(pc > 0, pc * _kl_col(mc / pc, P)).otherwise(F.lit(0.0))
+
+        gain = (
+            sig(F.col("cn_u") - F.col("s"),
+                F.col("cm_u") - F.col("w_ucur") - F.col("sw"))
+            - sig(F.col("cn_u"), F.col("cm_u"))
+            + sig(F.col("cn_c") + F.col("s"),
+                  F.col("cm_c") + F.col("w_uc") + F.col("sw"))
+            - sig(F.col("cn_c"), F.col("cm_c"))
+        )
+    else:  # surprise
+        row = cstats.agg(F.sum("cm").alias("mi"),
+                         F.sum(poss_c(F.col("cn"))).alias("pi")).collect()[0]
+        m_in, poss_in = float(row["mi"] or 0.0), float(row["pi"] or 0.0)
+        poss = n_total * (n_total - 1) / 2.0
+        M, PS = F.lit(m_total), F.lit(poss)
+
+        def surp(mi, pi):
+            return F.when((M > 0) & (PS > 0), M * _kl_col(mi / M, pi / PS)).otherwise(F.lit(0.0))
+
+        mi2 = F.lit(m_in) - F.col("w_ucur") + F.col("w_uc")
+        pi2 = (
+            F.lit(poss_in)
+            - poss_c(F.col("cn_u")) + poss_c(F.col("cn_u") - F.col("s"))
+            - poss_c(F.col("cn_c")) + poss_c(F.col("cn_c") + F.col("s"))
+        )
+        gain = surp(mi2, pi2) - F.lit(
+            (m_total * _kl(m_in / m_total, poss_in / poss))
+            if m_total > 0 and poss > 0 else 0.0
+        )
+    best = (
+        cand.withColumn("gain", gain)
+        .groupBy("id")
+        .agg(
+            F.max_by("cand", F.struct(F.col("gain"), (-F.col("cand")).alias("nb"))).alias("best_c"),
+            F.max("gain").alias("best_gain"),
+        )
+    )
+    new_c = (
+        F.when(
+            (F.col("best_gain") > eps)
+            & (F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(parity)),
+            F.col("best_c"),
+        ).otherwise(F.col("c"))
+    )
+    return (
+        mm.join(best, "id", "left")
+        .select("id", new_c.alias("comm"), (new_c != F.col("c")).alias("moved"))
+    )
+
+
 def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                        move_floor: float = 0.01, ledger=None,
                        level: int = 0, objective: str = "modularity",
                        gamma: float = 1.0,
-                       node_sizes: DataFrame | None = None) -> DataFrame:
+                       node_sizes: DataFrame | None = None,
+                       base_scalars: dict | None = None) -> DataFrame:
     """Run bulk move sweeps on one level until (nearly) no vertex moves.
 
     ``move_floor`` is the reference's δ move floor (src/Optimiser.jl:148):
@@ -243,22 +497,36 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     if m <= 0:
         loop.cleanup(keep_final=True)
         return memb
+    setbased = objective in ("significance", "surprise")
     if objective == "cpm":
         aux = (node_sizes or verts.select("id", F.lit(1.0).alias("k2"))).select(
             "id", F.col(node_sizes.columns[1] if node_sizes is not None else "k2").cast("double").alias("k2")
         )
         penalty = gamma
+    elif setbased:
+        aux = (node_sizes or verts.select("id", F.lit(1.0).alias("k2"))).select(
+            "id", F.col(node_sizes.columns[1] if node_sizes is not None else "k2").cast("double").alias("nsize")
+        )
+        penalty = 0.0
     else:
         aux = _strengths(edges).select("id", F.col("k").alias("k2"))
         penalty = gamma / (2.0 * m)
     aux = aux.persist()
     aux.count()
+    bs = base_scalars or {}
     low_streak = 0
     with no_aqe(spark):
         for sweep in range(max_sweeps):
+            if setbased:
+                plan = _move_sweep_set(
+                    edges, memb.select("id", "comm"), aux, sweep % 2, eps,
+                    objective, bs.get("density", 0.0),
+                    bs.get("n_total", float(n)), bs.get("m_total", m))
+            else:
+                plan = _move_sweep(edges, memb.select("id", "comm"), aux,
+                                   penalty, sweep % 2, eps)
             memb, got = loop.step(
-                _move_sweep(edges, memb.select("id", "comm"), aux, penalty,
-                            sweep % 2, eps),
+                plan,
                 {"moved": F.sum(F.col("moved").cast("long"))},
                 write_cols=["id", "comm"],
             )
@@ -287,7 +555,7 @@ class LouvainResult:
 def louvain(
     edges: DataFrame,
     eps: float = 1e-7,
-    local_threshold: int = 300_000,
+    local_threshold: int = 20_000,
     max_levels: int = 20,
     max_sweeps: int = 30,
     move_floor: float = 0.01,
@@ -296,13 +564,36 @@ def louvain(
     ledger=None,
 ) -> LouvainResult:
     """Quality-optimizing community detection over an undirected edge
-    table. ``objective``: 'modularity' (default), 'rbconfig' (modularity
-    with resolution gamma, src/MPartition.jl:441-467) or 'cpm'
-    (src/MPartition.jl:388-422). Distributed multi-greedy sweeps +
-    collapse per level; exact sequential greedy below
-    ``local_threshold`` edges (see module doc)."""
+    table. ``objective`` dispatches the full reference set
+    (src/Optimiser.jl:257-304): 'modularity' (default), 'rbconfig'
+    (resolution γ, src/MPartition.jl:441-467), 'cpm'
+    (src/MPartition.jl:388-422), 'rber' (ER null — CPM with penalty
+    γ·density, src/MPartition.jl:483-533), 'significance'
+    (src/MPartition.jl:536-604) and 'surprise' (src/MPartition.jl:333-385;
+    both set-based, unweighted-count semantics like the reference, which
+    rejects weighted graphs for them, src/Optimiser.jl:266-268).
+    Distributed multi-greedy sweeps + collapse per level; exact
+    sequential greedy below ``local_threshold`` edges (small enough that
+    the distributed path still handles the sf0.1 part graph)."""
     spark = edges.sparkSession
     base_edges = materialize_iter(canonicalize_undirected(edges))
+    setbased = objective in ("significance", "surprise")
+    base_scalars: dict = {}
+    if objective in ("rber", "significance", "surprise"):
+        # base-graph scalars keep the null model's meaning through
+        # collapses (node sizes carry the pair counts)
+        e0 = base_edges.filter(F.col("src") != F.col("dst"))
+        m0 = float(e0.count())
+        n0 = float(vertices_of(base_edges).count())
+        poss0 = n0 * (n0 - 1) / 2.0
+        p0 = m0 / poss0 if poss0 else 0.0
+        base_scalars = {"density": p0, "n_total": n0, "m_total": m0}
+        # unweighted-count semantics: weights become edge counts
+        base_edges = materialize_iter(
+            base_edges.select("src", "dst", F.lit(1.0).alias("weight")))
+        if objective == "rber":
+            # RBER ≡ CPM with penalty γ·p (same node-size null mass)
+            objective, gamma = "cpm", gamma * p0
     cur_edges = base_edges
     memb: DataFrame | None = None  # composed fine membership
     # per-level node sizes (CPM null model needs them through collapses)
@@ -317,10 +608,17 @@ def louvain(
             pairs = [(r.src, r.dst, r.weight) for r in cur_edges.collect()]
             ns = (
                 {r.id: r.nsize for r in sizes.collect()}
-                if objective == "cpm" else None
+                if objective == "cpm" or setbased else None
             )
-            comm = _local_louvain(pairs, node_sizes=ns, eps=eps,
-                                  objective=objective, gamma=gamma)
+            if setbased:
+                comm = _local_setbased(
+                    pairs, node_sizes=ns, eps=eps, objective=objective,
+                    density=base_scalars["density"],
+                    n_total=base_scalars["n_total"],
+                    m_total=base_scalars["m_total"])
+            else:
+                comm = _local_louvain(pairs, node_sizes=ns, eps=eps,
+                                      objective=objective, gamma=gamma)
             lvl = spark.createDataFrame(
                 [(int(u), int(c)) for u, c in comm.items()], "id long, comm long"
             )
@@ -331,7 +629,8 @@ def louvain(
         lvl = _distributed_level(cur_edges, eps, max_sweeps,
                                  move_floor=move_floor, ledger=ledger,
                                  level=level, objective=objective, gamma=gamma,
-                                 node_sizes=sizes.withColumnRenamed("nsize", "k2"))
+                                 node_sizes=sizes.withColumnRenamed("nsize", "k2"),
+                                 base_scalars=base_scalars)
         n_before = lvl.count()
         n_after = lvl.select("comm").distinct().count()
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)
@@ -355,7 +654,15 @@ def louvain(
     if memb is None:
         memb = vertices_of(base_edges).select("id", F.col("id").alias("comm"))
     memb = renumber_communities(memb)
-    if objective == "cpm":
+    if objective == "significance":
+        from .objectives import significance_quality
+
+        q = significance_quality(base_edges, memb)
+    elif objective == "surprise":
+        from .objectives import surprise_quality
+
+        q = surprise_quality(base_edges, memb)
+    elif objective == "cpm":
         from .objectives import cpm_quality
 
         q = cpm_quality(base_edges, memb, gamma=gamma)

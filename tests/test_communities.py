@@ -201,3 +201,58 @@ def test_louvain_rbconfig_resolution(spark):
     q_low = low.membership.select("comm").distinct().count()
     q_high = high.membership.select("comm").distinct().count()
     assert q_high >= q_low
+
+
+def test_louvain_significance_two_triangles(spark):
+    """Significance dispatch (src/Optimiser.jl:257-304 method table;
+    quality src/MPartition.jl:589-604): the planted two-triangle split
+    maximizes significance and the result's quality must equal the
+    quality function evaluated on the found membership."""
+    from communitydetection_jl_spark.operators.objectives import significance_quality
+
+    edges, truth = fx.two_triangles(spark)
+    res = louvain(edges, objective="significance")
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+    assert res.quality == pytest.approx(
+        significance_quality(edges, res.membership), abs=1e-9
+    )
+    # the planted split must not be beatable by the trivial partitions
+    n = res.membership.count()
+    singletons = res.membership.select("id", F.col("id").alias("comm"))
+    assert res.quality > significance_quality(edges, singletons)
+
+
+def test_louvain_surprise_ring_of_cliques(spark):
+    from communitydetection_jl_spark.operators.objectives import surprise_quality
+
+    edges, truth = fx.ring_of_cliques(spark)
+    res = louvain(edges, objective="surprise")
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+    assert res.quality == pytest.approx(
+        surprise_quality(edges, res.membership), abs=1e-9
+    )
+    assert res.quality > 0
+
+
+def test_louvain_rber_ring_of_cliques(spark):
+    from communitydetection_jl_spark.operators.objectives import rber_quality
+
+    edges, truth = fx.ring_of_cliques(spark)
+    res = louvain(edges, objective="rber", gamma=1.0)
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+    assert res.quality == pytest.approx(
+        rber_quality(edges, res.membership, gamma=1.0), abs=1e-9
+    )
+
+
+def test_louvain_setbased_distributed_path(spark):
+    """Force the distributed set-based sweep (_move_sweep_set) with
+    local_threshold=0; it must still recover the planted cliques."""
+    edges, truth = fx.ring_of_cliques(spark)
+    res = louvain(edges, objective="significance", local_threshold=0,
+                  max_sweeps=40)
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+
+    res2 = louvain(edges, objective="surprise", local_threshold=0,
+                   max_sweeps=40)
+    assert nmi(res2.membership, truth) == pytest.approx(1.0)
