@@ -396,6 +396,62 @@ def q_louvain_cpm(spark, sf_dir):
     return louvain(_part_edges(spark, sf_dir), objective="cpm", gamma=0.5).membership
 
 
+def q_louvain_significance(spark, sf_dir):
+    """Significance-optimizing communities (src/MPartition.jl:536-604;
+    optimizer dispatch src/Optimiser.jl:257-304)."""
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges(spark, sf_dir), objective="significance").membership
+
+
+def q_louvain_surprise(spark, sf_dir):
+    """Surprise-optimizing communities (src/MPartition.jl:333-385)."""
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges(spark, sf_dir), objective="surprise").membership
+
+
+def q_louvain_rber(spark, sf_dir):
+    """RBER (Erdős–Rényi null) communities (src/MPartition.jl:483-533)."""
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges(spark, sf_dir), objective="rber", gamma=1.0).membership
+
+
+def q_significance_score(spark, sf_dir):
+    """Scalar significance of the brand partition (SQL-oracled)."""
+    from communitydetection_jl_spark.operators.objectives import significance_quality
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    return spark.createDataFrame(
+        [(round(significance_quality(e, memb), 6),)], "significance double"
+    )
+
+
+def q_surprise_score(spark, sf_dir):
+    from communitydetection_jl_spark.operators.objectives import surprise_quality
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    return spark.createDataFrame(
+        [(round(surprise_quality(e, memb), 6),)], "surprise double"
+    )
+
+
+def q_rber_score(spark, sf_dir):
+    from communitydetection_jl_spark.operators.objectives import rber_quality
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    return spark.createDataFrame(
+        [(round(rber_quality(e, memb, gamma=1.0), 6),)], "rber double"
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs in md5 base-hash mode — every stage
     (shingle, permute, band, bucket, verify) reproduced by the DuckDB
@@ -515,11 +571,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
         "dense_ids": q_dense_ids,
-        # rows-only (iterative / hash-seeded, no SQL oracle)
+        "significance_score": q_significance_score,
+        "surprise_score": q_surprise_score,
+        "rber_score": q_rber_score,
+        # oracled via recursive CTEs / literal-seeded SQL twins
         "pagerank_full": q_pagerank_full,
         "lpa_full": q_lpa_full,
+        # rows-only (iterative / hash-seeded, no SQL oracle)
         "louvain": q_louvain,
         "louvain_cpm": q_louvain_cpm,
+        "louvain_significance": q_louvain_significance,
+        "louvain_surprise": q_louvain_surprise,
+        "louvain_rber": q_louvain_rber,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_near_vectors": q_lsh_near_vectors,
@@ -673,6 +736,58 @@ def _map_equation_oracle() -> str:
         SELECT ROUND((CASE WHEN sq > 0 THEN sq * LN(sq) ELSE 0 END)
                      - 2 * s_q - (SELECT v FROM s_pv) + s_qp, 6) AS codelength
         FROM agg
+    """
+
+
+_SETBASED_STATS_SQL = f"""
+        e AS ({_PART_EDGES_SQL}),
+        m0 AS (SELECT COUNT(*) AS m FROM e),
+        n0 AS (SELECT COUNT(*) AS n FROM part),
+        mb AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+        j AS (SELECT ma.comm AS cs, mbb.comm AS cd
+              FROM e JOIN mb ma ON e.src = ma.id JOIN mb mbb ON e.dst = mbb.id),
+        msx AS (SELECT cs AS comm, COUNT(*) AS ms FROM j WHERE cs = cd GROUP BY 1),
+        nsx AS (SELECT comm, COUNT(*) AS ns FROM mb GROUP BY 1),
+        st AS (SELECT nsx.ns, COALESCE(msx.ms, 0) AS ms,
+                      nsx.ns * (nsx.ns - 1) / 2.0 AS pc
+               FROM nsx LEFT JOIN msx USING (comm)),
+        sc AS (SELECT (SELECT m FROM m0) /
+                      ((SELECT n FROM n0) * ((SELECT n FROM n0) - 1) / 2.0) AS p)
+"""
+
+_KL_SQL = """(CASE WHEN {q} > 0 AND {p} > 0 THEN {q} * LN({q} / {p}) ELSE 0 END
+            + CASE WHEN {q} < 1 AND {p} < 1
+                   THEN (1 - {q}) * LN((1 - {q}) / (1 - {p})) ELSE 0 END)"""
+
+
+def _significance_oracle() -> str:
+    kl = _KL_SQL.format(q="(ms / pc)", p="(SELECT p FROM sc)")
+    return f"""
+        WITH {_SETBASED_STATS_SQL}
+        SELECT ROUND(SUM(CASE WHEN pc > 0 THEN pc * {kl} ELSE 0 END), 6)
+               AS significance
+        FROM st, sc
+    """
+
+
+def _surprise_oracle() -> str:
+    kl = _KL_SQL.format(q="(mi * 1.0 / m)", p="(pi / poss)")
+    return f"""
+        WITH {_SETBASED_STATS_SQL},
+        agg AS (SELECT SUM(ms) AS mi, SUM(pc) AS pi FROM st),
+        g AS (SELECT (SELECT m FROM m0) AS m,
+                     (SELECT n FROM n0) * ((SELECT n FROM n0) - 1) / 2.0 AS poss)
+        SELECT ROUND(CASE WHEN m > 0 AND poss > 0 THEN m * {kl} ELSE 0 END, 6)
+               AS surprise
+        FROM agg, g
+    """
+
+
+def _rber_oracle() -> str:
+    return f"""
+        WITH {_SETBASED_STATS_SQL}
+        SELECT ROUND(SUM(ms - (SELECT p FROM sc) * pc), 6) AS rber
+        FROM st
     """
 
 
@@ -1047,4 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_full": _pagerank_full_oracle(),
         "lsh_near_vectors": _lsh_near_vectors_oracle(),
         "lpa_full": _lpa_full_oracle(),
+        "significance_score": _significance_oracle(),
+        "surprise_score": _surprise_oracle(),
+        "rber_score": _rber_oracle(),
     }
