@@ -110,8 +110,11 @@ def main() -> None:
         # plan (a leaf relation with real file stats); localCheckpoint
         # at this width holds ~m deserialized rows in the block manager
         import tempfile
+
+        from communitydetection_jl_spark.functions.scratch import register
         base = os.environ.get("SPARK_GRAFT_STATE_DIR") or tempfile.gettempdir()
         epath = os.path.join(base, f"bench_edges_{os.getpid()}")
+        register(epath)  # purge at exit — RAM-backed when STATE_DIR=/dev/shm
         e.repartition(cpus, "src").write.mode("overwrite").parquet(epath)
         # drop ALL construction residue (densify's persisted dim, cached
         # frames) before the measured supersteps: a few GB of tenured

@@ -1,4 +1,5 @@
-"""Dense vertex-id assignment (dictionary encoding).
+"""Dense vertex-id assignment (dictionary encoding) and distributed
+rank permutations.
 
 The reference assumes dense ``1..n`` vertex ids (Graphs.jl
 ``vertex_index``); the engine's url-derived ids are sparse 64-bit
@@ -7,10 +8,15 @@ int64 keys, SURVEY.md §4.3) and raise the single-box memory-bandwidth
 ceiling on gather supersteps, so the bench path densifies once at
 graph build.
 
-Scalable construction (no global window): range-partition the ids,
-count per partition, broadcast the per-partition offsets, then
-row_number within each partition. One pass + one tiny collect.
-"""
+Scalable construction (no global window): range-partition on the order
+column, materialize to parquet WITH the partition id baked in as a
+column, count per partition, broadcast the per-partition offsets, then
+row_number within each partition. The parquet round-trip is what makes
+this correct under recomputation: repartitionByRange re-samples its
+boundaries on every execution, so offsets collected from one execution
+would not match row_numbers computed by another (e.g. after an executor
+loses cached blocks). Materialized _pid values make the ranking a pure
+function of the data."""
 
 from __future__ import annotations
 
@@ -18,28 +24,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .scratch import scratch_dir
 
-def dense_ids(verts: DataFrame, id_col: str = "id", parts: int | None = None) -> DataFrame:
-    """Map distinct ``id_col`` values to dense ids ``0..n-1``.
 
-    Returns ``(id, nid)`` with ``nid`` int when n < 2^31 else long.
-    Deterministic given the input *set* (ordered by id within range
-    partitions).
-    """
-    spark = verts.sparkSession
+def ranked_by(df: DataFrame, order_col, parts: int | None = None) -> DataFrame:
+    """Rank all rows of ``df`` by ``order_col`` (dense 1..n, ties broken
+    arbitrarily-but-deterministically by the column's sort), without a
+    global window: range partitions + per-partition offsets.
+
+    Returns ``df``'s columns plus ``rank``. One parquet round-trip +
+    one tiny collect; every downstream read sees the same files."""
+    spark = df.sparkSession
     P = parts or spark.sparkContext.defaultParallelism
-    # materialize ONCE: repartitionByRange re-samples boundaries on
-    # every execution, so the offset counts and the row_numbers must
-    # read the same physical instance (persist, not localCheckpoint:
-    # checkpointing stores deserialized row objects and its job ships
-    # per-task result metadata that can trip driver.maxResultSize)
     d = (
-        verts.select(id_col).distinct()
-        .repartitionByRange(P, id_col)
+        df.withColumn("_ord", order_col)
+        .repartitionByRange(P, "_ord")
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
-    d.count()
+    path = scratch_dir("ranked_")
+    d.write.mode("overwrite").parquet(path)
+    d = spark.read.parquet(path)
     counts = d.groupBy("_pid").count().collect()
     offs: dict[int, int] = {}
     acc = 0
@@ -47,10 +51,23 @@ def dense_ids(verts: DataFrame, id_col: str = "id", parts: int | None = None) ->
         offs[r["_pid"]] = acc
         acc += r["count"]
     omap = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
-    w = W.partitionBy("_pid").orderBy(id_col)
-    nid = F.row_number().over(w) - 1 + omap[F.col("_pid")]
-    out_type = "int" if acc < (1 << 31) else "long"
-    return d.select(id_col, nid.cast(out_type).alias("nid"))
+    w = W.partitionBy("_pid").orderBy("_ord")
+    rank = F.row_number().over(w) + omap[F.col("_pid")]
+    out_cols = [c for c in df.columns]
+    return d.select(*out_cols, rank.cast("long").alias("rank"))
+
+
+def dense_ids(verts: DataFrame, id_col: str = "id", parts: int | None = None) -> DataFrame:
+    """Map distinct ``id_col`` values to dense ids ``0..n-1``.
+
+    Returns ``(id, nid)`` with ``nid`` int when n < 2^31 else long.
+    Deterministic given the input *set* (nid = rank of id ascending)."""
+    ranked = ranked_by(verts.select(id_col).distinct(), F.col(id_col), parts)
+    n = ranked.count()
+    out_type = "int" if n < (1 << 31) else "long"
+    return ranked.select(
+        id_col, (F.col("rank") - 1).cast(out_type).alias("nid")
+    )
 
 
 def densify_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:

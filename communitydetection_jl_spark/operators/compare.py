@@ -235,23 +235,28 @@ def overlap_nmi(cover_a: list[list[int]], cover_b: list[list[int]], n: int | Non
 def rnmi(ma: DataFrame, mb: DataFrame, n_shuffles: int = 10, seed: int = 42) -> float:
     """NMI corrected by the mean NMI of label-shuffled partitions
     (src/nmi.jl:194-213): rnmi = nmi(a,b) − mean_k nmi(shuffle_k(a), b).
-    Shuffles are deterministic: labels reassigned by rank of
-    xxhash64(id, k)."""
-    from pyspark.sql import Window as W
+
+    Fully distributed: the label multiset is ranked once by vertex id
+    (a fixed reference sequence), each shuffle ranks vertices by
+    xxhash64(id, k, seed), and rank⋈rank pairs labels with vertices —
+    a uniform random permutation with no driver-side label vector and
+    no global-sort window (functions/ids.ranked_by: range partitions +
+    per-partition offsets, parquet-backed)."""
+    from ..functions.ids import ranked_by
 
     base = nmi(ma, mb)
     la = ma.columns[1]
-    n = ma.count()
+    # fixed label sequence: label of the i-th smallest vertex id
+    lbl_seq = ranked_by(
+        ma.select("id", F.col(la).alias("comm")), F.col("id")
+    ).select("rank", "comm").persist()
+    lbl_seq.count()
     mean_rand = 0.0
-    labels_in_order = [
-        r.l for r in ma.select(F.col(la).alias("l")).collect()
-    ]
     for k in range(n_shuffles):
-        w = W.orderBy(F.xxhash64("id", F.lit(k), F.lit(seed)))
-        shuffled = ma.select("id").withColumn("rn", F.row_number().over(w))
-        perm = ma.sparkSession.createDataFrame(
-            [(i + 1, int(labels_in_order[i])) for i in range(n)], "rn int, comm long"
-        )
-        shuf = shuffled.join(perm, "rn").select("id", "comm")
+        perm = ranked_by(
+            ma.select("id"), F.xxhash64("id", F.lit(k), F.lit(seed))
+        ).select("id", "rank")
+        shuf = perm.join(lbl_seq, "rank").select("id", "comm")
         mean_rand += nmi(shuf, mb)
+    lbl_seq.unpersist()
     return base - mean_rand / n_shuffles

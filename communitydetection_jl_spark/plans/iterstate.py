@@ -223,5 +223,13 @@ class StateLoop:
                 if keep_final and t == final:
                     continue
                 self._drop_table(t)
-        elif self.dir and self.ledger is None and not keep_final:
-            shutil.rmtree(self.dir, ignore_errors=True)
+        elif self.dir and self.ledger is None:
+            if keep_final:
+                # the final state files back the returned DataFrame, so
+                # they can't be removed now — purge at interpreter exit
+                # instead of leaking one dir per algorithm call
+                from ..functions.scratch import register
+
+                register(self.dir)
+            else:
+                shutil.rmtree(self.dir, ignore_errors=True)

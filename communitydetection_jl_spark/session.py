@@ -15,6 +15,28 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _default_driver_mem() -> str:
+    """Size the local-mode JVM heap from what the host can actually
+    give (60% of MemAvailable, clamped to [4g, 24g]) instead of a
+    fixed number that OOM-kills smaller hosts. Bench/scaling scripts
+    still pin an explicit SPARK_GRAFT_DRIVER_MEM."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = next(int(l.split()[1]) for l in f if l.startswith("MemAvailable"))
+        return f"{max(4, min(24, int(kb / 1024 / 1024 * 0.6)))}g"
+    except Exception:
+        return "8g"
+
+
+def _java_opts() -> str:
+    """User opts win; the throughput-GC default is appended unless the
+    user already chose a collector (env replaces, not merges)."""
+    opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    if "GC" not in opts:
+        opts = (opts + " -XX:+UseParallelGC").strip()
+    return opts
+
+
 def get_spark(
     app_name: str = "linkgraph",
     cores: int | str = "*",
@@ -54,9 +76,9 @@ def get_spark(
         # G1's concurrent mark cycles + humongous-allocation churn stall
         # gather supersteps for seconds (measured: 2.7s young pauses,
         # 18s mark cycles at 48g); throughput GC suits batch supersteps
-        .config("spark.driver.extraJavaOptions",
-                os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.extraJavaOptions", _java_opts())
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
         # localCheckpoint/collect task-result metadata scales with task
         # count; the 1g default aborts wide materializations
         .config("spark.driver.maxResultSize", "4g")

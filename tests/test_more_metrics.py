@@ -72,3 +72,41 @@ def test_overlap_nmi():
     assert 0.5 < v < 1.0
     disjoint = [[1, 4], [2, 5], [3, 6]]
     assert overlap_nmi(a, disjoint) < v
+
+
+def test_ranked_by_is_permutation(spark):
+    """ranked_by (functions/ids.py) must produce a dense 1..n rank with
+    no global window — the building block of dense_ids and rnmi."""
+    from pyspark.sql import functions as F
+
+    from communitydetection_jl_spark.functions.ids import ranked_by
+
+    df = spark.range(500).select("id")
+    r = ranked_by(df, F.xxhash64("id"))
+    ranks = sorted(row.rank for row in r.collect())
+    assert ranks == list(range(1, 501))
+    # ranking by id itself is the identity order
+    r2 = ranked_by(df, F.col("id"))
+    got = {row.id: row.rank for row in r2.collect()}
+    assert all(got[i] == i + 1 for i in range(500))
+
+
+def test_rnmi_distributed(spark):
+    """rnmi (src/nmi.jl:194-213 semantics): deterministic, strictly
+    below plain NMI (positive shuffle correction), and high for
+    near-identical partitions. No driver-side label vector, no
+    global-sort window."""
+    import pytest as _pt
+
+    from communitydetection_jl_spark.operators.compare import nmi, rnmi
+
+    la = [i // 10 for i in range(100)]
+    lb = list(la)
+    lb[0], lb[11] = 5, 7
+    ma = spark.createDataFrame(list(enumerate(la)), "id long, comm long")
+    mb = spark.createDataFrame(list(enumerate(lb)), "id long, comm long")
+    r1 = rnmi(ma, mb, n_shuffles=4)
+    r2 = rnmi(ma, mb, n_shuffles=4)
+    assert r1 == _pt.approx(r2, abs=1e-12)
+    assert r1 < nmi(ma, mb)
+    assert r1 > 0.5
