@@ -520,6 +520,15 @@ def q_infomap(spark, sf_dir):
     return infomap(_part_edges(spark, sf_dir)).membership
 
 
+def q_infomap_directed(spark, sf_dir):
+    """Directed Infomap with teleportation over the orders graph
+    (diflow_partition + optimize_partition!, src/DiFlowPartition.jl:
+    218-363; visit probs = reference-semantics PageRank)."""
+    from communitydetection_jl_spark.operators.infomap import infomap_directed
+
+    return infomap_directed(_orders_edges(spark, sf_dir)).membership
+
+
 def q_kclique(spark, sf_dir):
     """3-clique percolation cover on the part graph (CPM; reference
     kclique_percolation, src/kclique_percolation.jl:1-24)."""
@@ -591,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hlpa": q_hlpa,
         "map_equation": q_map_equation,
         "infomap": q_infomap,
+        "infomap_directed": q_infomap_directed,
         "kclique": q_kclique,
         "lang_prf": q_lang_prf,
     }

@@ -148,3 +148,110 @@ def test_infomap_weight_invariance(spark):
     scaled = edges.withColumn("weight", F.lit(7.5))
     res = infomap(scaled)
     assert nmi(res.membership, truth) == pytest.approx(1.0)
+
+
+# ----------------------------------------------------------------------
+# Directed Infomap with teleport (src/DiFlowPartition.jl semantics)
+# ----------------------------------------------------------------------
+
+# two directed 3-cycles bridged by 1→4, plus a dangling sink 3→7
+DIR_ARCS = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (1, 4), (3, 7)]
+
+
+def _dir_pagerank(arcs, nodes, tau=0.15, tol=1e-13):
+    """Engine-semantics PageRank (src/DiFlowGraph.jl:50-85): teleport
+    mass τ, dangling mass redistributed with follow weight."""
+    n = len(nodes)
+    out = {u: [] for u in nodes}
+    for u, v in arcs:
+        out[u].append(v)
+    p = {u: 1.0 / n for u in nodes}
+    d = 1.0 - tau
+    while True:
+        dang = sum(p[u] for u in nodes if not out[u])
+        msg = {u: 0.0 for u in nodes}
+        for u in nodes:
+            for v in out[u]:
+                msg[v] += p[u] / len(out[u])
+        p2 = {u: tau / n + d * dang / n + d * msg[u] for u in nodes}
+        delta = sum(abs(p2[u] - p[u]) for u in nodes)
+        p = p2
+        if delta <= tol:
+            return p
+
+
+def _dir_codelength(arcs, nodes, comm, tau=0.15):
+    """Pure-python directed map equation with teleport/dangling terms
+    (objectives.map_equation_directed formula, independent derivation)."""
+    n = len(nodes)
+    p = _dir_pagerank(arcs, nodes, tau)
+    out = {u: [] for u in nodes}
+    for u, v in arcs:
+        out[u].append(v)
+    comms = set(comm.values())
+    n_c = {c: sum(1 for u in nodes if comm[u] == c) for c in comms}
+    p_c = {c: sum(p[u] for u in nodes if comm[u] == c) for c in comms}
+    iso_c = {c: sum(p[u] for u in nodes if comm[u] == c and not out[u]) for c in comms}
+    flow_c = {c: 0.0 for c in comms}
+    for u in nodes:
+        for v in out[u]:
+            if comm[u] != comm[v]:
+                flow_c[comm[u]] += p[u] / len(out[u])
+    q_c = {}
+    for c in comms:
+        frac = (n - n_c[c]) / n
+        q_c[c] = tau * frac * p_c[c] + (1 - tau) * (flow_c[c] + frac * iso_c[c])
+    sum_q = sum(q_c.values())
+    return (
+        _plogp(sum_q)
+        - 2 * sum(_plogp(q) for q in q_c.values())
+        - sum(_plogp(p[u]) for u in nodes)
+        + sum(_plogp(q_c[c] + p_c[c]) for c in comms)
+    )
+
+
+def _dir_global_min():
+    nodes = list(range(1, 8))
+    best = (float("inf"), None)
+    for part in _all_partitions(nodes):
+        comm = {u: i for i, blk in enumerate(part) for u in blk}
+        L = _dir_codelength(DIR_ARCS, nodes, comm)
+        if L < best[0]:
+            best = (L, comm)
+    return best
+
+
+def test_infomap_directed_global_min(spark):
+    """infomap_directed must hit the global-minimum codelength over all
+    877 partitions of the 7-node directed fixture, and its reported
+    codelength (map_equation_directed) must match the independent
+    pure-python derivation."""
+    best_L, best_comm = _dir_global_min()
+    edges = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in DIR_ARCS], "src long, dst long, weight double"
+    )
+    from communitydetection_jl_spark.operators.infomap import infomap_directed
+
+    res = infomap_directed(edges)
+    assert res.codelength == pytest.approx(best_L, abs=1e-6)
+    got = {r.id: r.comm for r in res.membership.collect()}
+    truth = spark.createDataFrame(list(best_comm.items()), "id long, comm long")
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+
+
+def test_infomap_directed_distributed_path(spark):
+    """Force the distributed directed sweep (local_threshold=0)."""
+    edges = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in DIR_ARCS], "src long, dst long, weight double"
+    )
+    from communitydetection_jl_spark.operators.infomap import infomap_directed
+
+    res = infomap_directed(edges, local_threshold=0, max_sweeps=30)
+    # with the exact local polish disabled (local_threshold=0), bulk
+    # parity sweeps can stop at a single-move plateau on a 7-node graph
+    # (production thresholds always hand coarse graphs to the exact
+    # phase); the sweeps must still strictly beat singletons by merging
+    nodes = list(range(1, 8))
+    singles = _dir_codelength(DIR_ARCS, nodes, {u: u for u in nodes})
+    assert res.codelength < singles
+    assert res.membership.select("comm").distinct().count() < len(nodes)
