@@ -117,3 +117,67 @@ def mutual_info_score(truth: DataFrame, pred: DataFrame) -> float:
 
 def normalized_mutual_info_score(truth: DataFrame, pred: DataFrame) -> float:
     return nmi(truth, pred)
+
+
+def expected_mutual_info(marg_a: list[int], marg_b: list[int]) -> float:
+    """E[MI] under the hypergeometric permutation model (the correction
+    inside sklearn's adjusted_mutual_info_score, which the reference
+    delegates to via PyCall, src/metrics.jl:452-515). Driver-side over
+    the two marginal vectors — label counts, not rows."""
+    import math
+
+    n = sum(marg_a)
+    if n == 0 or n != sum(marg_b):
+        return 0.0
+    emi = 0.0
+    for ai in marg_a:
+        for bj in marg_b:
+            lo = max(1, ai + bj - n)
+            hi = min(ai, bj)
+            for nij in range(lo, hi + 1):
+                p = (
+                    math.comb(bj, nij) * math.comb(n - bj, ai - nij)
+                    / math.comb(n, ai)
+                )
+                if p > 0 and nij > 0:
+                    emi += (nij / n) * math.log(n * nij / (ai * bj)) * p
+    return emi
+
+
+def adjusted_mutual_info_score(
+    truth: DataFrame, pred: DataFrame, average_method: str = "arithmetic"
+) -> float:
+    """AMI = (MI − E[MI]) / (norm(H_a, H_b) − E[MI]); the chance-
+    corrected NMI the reference exposes through its sklearn delegate
+    set (src/metrics.jl:452-515). ``average_method``: 'arithmetic'
+    (modern sklearn default), 'max' (the historical default of the
+    sklearn era the reference pinned), 'min', 'geometric'."""
+    import math
+
+    from .compare import _entropies
+
+    ct = contingency(truth, pred).persist()
+    n = int(ct.agg(F.sum("nij")).collect()[0][0] or 0)
+    if n == 0:
+        ct.unpersist()
+        return 0.0
+    ha, hb, mi = _entropies(ct, n)  # H* are Σ p log p (≤ 0)
+    ha, hb = -ha, -hb
+    marg_a = [int(r.na) for r in ct.groupBy("ca").agg(F.sum("nij").alias("na")).collect()]
+    marg_b = [int(r.nb) for r in ct.groupBy("cb").agg(F.sum("nij").alias("nb")).collect()]
+    ct.unpersist()
+    emi = expected_mutual_info(marg_a, marg_b)
+    if average_method == "arithmetic":
+        norm = (ha + hb) / 2.0
+    elif average_method == "max":
+        norm = max(ha, hb)
+    elif average_method == "min":
+        norm = min(ha, hb)
+    elif average_method == "geometric":
+        norm = math.sqrt(ha * hb)
+    else:
+        raise ValueError(average_method)
+    denom = norm - emi
+    if abs(denom) < 1e-15:
+        return 1.0 if abs(mi - emi) < 1e-15 else 0.0
+    return (mi - emi) / denom

@@ -45,17 +45,32 @@ class SLPAResult:
     history: list = field(default_factory=list)
 
 
-def _speak(sym: DataFrame, memory: DataFrame, iteration: int, seed: int) -> DataFrame:
+def _speak(sym: DataFrame, memory: DataFrame, iteration: int, seed: int,
+           beta: float = 1.0) -> DataFrame:
     """One spoken label per (listener, speaker) edge: inverse-CDF sample
-    from the speaker's memory, deterministic in (edge, iteration)."""
-    spoken = sym.join(memory.withColumnRenamed("id", "dst"), "dst").select(
+    ∝ count^β from the speaker's memory (src/slpa.jl:23-46 speaks with
+    the β exponent; β=1 is plain proportional), deterministic in
+    (edge, iteration).
+
+    Window-free: the per-speaker memory is folded ONCE per iteration
+    into a label-sorted (label, w) array + total, and each edge scans it
+    with a higher-order ``aggregate`` at its own pseudo-uniform u — no
+    per-edge sort windows (the old plan ran two windows + a row_number
+    over the 2m-row spoken table every superstep)."""
+    wcol = (
+        F.col("cnt").cast("double") if beta == 1.0
+        else F.pow(F.col("cnt").cast("double"), F.lit(float(beta)))
+    )
+    mem_arr = memory.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("label"), wcol.alias("w")))).alias("mem"),
+        F.sum(wcol).alias("total"),
+    )
+    joined = sym.join(mem_arr.withColumnRenamed("id", "dst"), "dst").select(
         F.col("src").alias("listener"),
         F.col("dst").alias("speaker"),
-        "label",
-        "cnt",
+        "mem",
+        "total",
     )
-    w = W.partitionBy("listener", "speaker").orderBy("label")
-    wall = W.partitionBy("listener", "speaker")
     u = (
         F.pmod(
             F.xxhash64(
@@ -65,19 +80,24 @@ def _speak(sym: DataFrame, memory: DataFrame, iteration: int, seed: int) -> Data
         )
         / F.lit(1_000_000_007.0)
     )
-    scored = spoken.select(
-        "listener", "speaker", "label",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(wall).alias("total"),
-        u.alias("u"),
+    thresh = (u * F.col("total")).alias("thresh")
+    # scan the sorted memory: first label whose cumsum exceeds thresh
+    picked = F.aggregate(
+        F.col("mem"),
+        F.struct(F.lit(None).cast("long").alias("lbl"), F.lit(0.0).alias("cum")),
+        lambda acc, x: F.struct(
+            F.when(acc["lbl"].isNotNull(), acc["lbl"])
+            .when(acc["cum"] + x["w"] > F.col("thresh"), x["label"])
+            .otherwise(F.lit(None).cast("long"))
+            .alias("lbl"),
+            (acc["cum"] + x["w"]).alias("cum"),
+        ),
+        lambda acc: acc["lbl"],
     )
-    # first label whose cumulative count exceeds u*total
-    picked = scored.filter(F.col("cum") > F.col("u") * F.col("total"))
-    w2 = W.partitionBy("listener", "speaker").orderBy("cum", "label")
     return (
-        picked.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select("listener", "label")
+        joined.withColumn("thresh", thresh)
+        .select("listener", picked.alias("label"))
+        .filter(F.col("label").isNotNull())
     )
 
 
@@ -96,10 +116,13 @@ def slpa(
     iterations: int = 20,
     r: float = 0.1,
     seed: int = 42,
+    beta: float = 1.0,
     ledger=None,
 ) -> SLPAResult:
     """Run SLPA for a fixed number of rounds (reference default 20,
-    src/slpa.jl:81-120), post-process with threshold ``r``."""
+    src/slpa.jl:81-120), post-process with threshold ``r``. ``beta``
+    is the speaking exponent (labels spoken ∝ count^β,
+    src/slpa.jl:23-46; β=1 proportional)."""
     spark = edges.sparkSession
     sym = (
         symmetrize(with_weight(edges))
@@ -124,7 +147,7 @@ def slpa(
     history = []
     with no_aqe(spark):
         for it in range(start_it + 1, iterations + 1):
-            spoken = _speak(sym, memory, it, seed)
+            spoken = _speak(sym, memory, it, seed, beta)
             adopted = _listen(spoken, it, seed)
             memory, got = loop.step(
                 memory.unionByName(

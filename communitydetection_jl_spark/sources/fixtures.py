@@ -163,11 +163,37 @@ def lfr(spark: SparkSession, n: int = 1000, avg_deg: int = 15, max_deg: int = 50
     return _edges_df(spark, sorted(pairs)), _truth_df(spark, comm)
 
 
+
+
+def football_like(spark: SparkSession, seed: int = 42):
+    """NCAA-football-scale planted partition: 115 nodes, 12 conferences.
+
+    The reference exercises ``graphfamous("football")`` (GraphPlot.jl
+    data; README.md usage, test/louvain.jl:497). The actual 2000-season
+    edge list ships with an external package and is not available
+    offline, so this fixture reproduces its *statistics* (115 teams,
+    conference sizes 8-12, ~613 edges, avg degree ~10.7, strong
+    intra-conference density) as a seeded planted partition — the same
+    role in tests: a mid-size graph with 12 ground-truth communities.
+    """
+    rng = np.random.default_rng(seed)
+    sizes = [8, 8, 9, 10, 10, 10, 10, 10, 10, 10, 10, 10]
+    comm = np.concatenate([np.full(s, i + 1) for i, s in enumerate(sizes)])
+    n = comm.size
+    iu, ju = np.triu_indices(n, k=1)
+    same = comm[iu] == comm[ju]
+    p = np.where(same, 0.64, 0.047)
+    keep = rng.random(len(p)) < p
+    pairs = list(zip((iu[keep] + 1).tolist(), (ju[keep] + 1).tolist()))
+    return _edges_df(spark, pairs), _truth_df(spark, comm)
+
+
 FIXTURES = {
     "two_triangles": two_triangles,
     "karate": karate,
     "gn": gn,
     "ring_of_cliques": ring_of_cliques,
+    "football_like": football_like,
     "directed_toy": directed_toy,
     "lfr": lfr,
 }

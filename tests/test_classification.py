@@ -73,3 +73,70 @@ def test_map_equation_directed(spark):
     # grouping the two cycles should compress vs singletons
     assert l_two < l_single
     assert l_two > 0
+
+
+def test_adjusted_mutual_info(spark):
+    """AMI (reference delegate set, src/metrics.jl:452-515): E[MI] is
+    checked against a TRUE permutation average (all 4! relabelings of a
+    4-point partition), then AMI properties: 1 on identical partitions,
+    ~0 against near-random ones."""
+    import itertools
+    import math
+
+    from communitydetection_jl_spark.operators.classification import (
+        adjusted_mutual_info_score,
+        expected_mutual_info,
+        mutual_info_score,
+    )
+
+    # brute-force E[MI]: average MI over every permutation of b's labels
+    la = [0, 0, 1, 1]
+    lb = [0, 1, 0, 1]
+
+    def mi_of(a, b):
+        n = len(a)
+        from collections import Counter
+
+        nij = Counter(zip(a, b))
+        na, nb = Counter(a), Counter(b)
+        return sum(
+            (c / n) * math.log(n * c / (na[i] * nb[j]))
+            for (i, j), c in nij.items() if c > 0
+        )
+
+    perm_avg = sum(mi_of(la, list(p)) for p in itertools.permutations(lb)) / math.factorial(len(lb))
+    emi = expected_mutual_info([2, 2], [2, 2])
+    assert emi == pytest.approx(perm_avg, abs=1e-12)
+
+    ma = spark.createDataFrame(list(enumerate(la)), "id long, comm long")
+    mb = spark.createDataFrame(list(enumerate(lb)), "id long, comm long")
+    assert adjusted_mutual_info_score(ma, ma) == pytest.approx(1.0, abs=1e-9)
+    # orthogonal balanced partitions: MI = 0 exactly, so the chance
+    # correction drives AMI ≤ 0 (here (0−EMI)/(H−EMI) = −0.5 at n=4)
+    ami0 = adjusted_mutual_info_score(ma, mb)
+    assert -0.6 < ami0 <= 0.0
+    # larger correlated case: AMI < NMI but still high
+    lc = [i // 20 for i in range(100)]
+    ld = list(lc)
+    ld[0], ld[25] = 3, 4
+    mc = spark.createDataFrame(list(enumerate(lc)), "id long, comm long")
+    md = spark.createDataFrame(list(enumerate(ld)), "id long, comm long")
+    ami = adjusted_mutual_info_score(mc, md)
+    assert 0.7 < ami < 1.0
+
+
+def test_football_like_fixture(spark):
+    """football-scale planted partition (12 conferences, ~613 edges):
+    Louvain and LPA must recover the conferences almost exactly."""
+    from communitydetection_jl_spark.operators.compare import nmi
+    from communitydetection_jl_spark.operators.louvain import louvain
+    from communitydetection_jl_spark.operators.lpa import lpa
+    from communitydetection_jl_spark.sources import fixtures as fx
+
+    edges, truth = fx.football_like(spark)
+    m = edges.count()
+    assert 550 <= m <= 680  # ~613 edges like the real network
+    res = louvain(edges)
+    assert nmi(res.membership, truth) > 0.85
+    lres = lpa(edges)
+    assert nmi(lres.labels, truth) > 0.75

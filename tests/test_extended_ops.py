@@ -181,3 +181,17 @@ def test_streaming_link_rate(spark, tmp_path):
     # append mode emits only watermark-closed windows; with a bounded
     # synthetic ts range most windows close — just require the query ran
     assert spark.sql("SELECT * FROM rates").columns == ["window", "host", "outlinks", "pages"]
+
+
+def test_slpa_beta_exponent(spark):
+    """β≠1 (speak ∝ count^β, src/slpa.jl:23-46) must still be
+    deterministic and recover the planted cliques; β→large approaches
+    always-speak-the-argmax behavior."""
+    edges, truth = fx.ring_of_cliques(spark)
+    from communitydetection_jl_spark.operators.compare import nmi
+
+    res = slpa(edges, iterations=20, r=0.3, beta=2.0)
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
+    a = {(r.id, r.comm) for r in slpa(edges, iterations=8, beta=2.0).membership.collect()}
+    b = {(r.id, r.comm) for r in slpa(edges, iterations=8, beta=2.0).membership.collect()}
+    assert a == b
