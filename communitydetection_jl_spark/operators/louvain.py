@@ -562,6 +562,8 @@ def louvain(
     objective: str = "modularity",
     gamma: float = 1.0,
     ledger=None,
+    init_sizes: DataFrame | None = None,
+    record_quality: bool = False,
 ) -> LouvainResult:
     """Quality-optimizing community detection over an undirected edge
     table. ``objective`` dispatches the full reference set
@@ -596,10 +598,27 @@ def louvain(
             objective, gamma = "cpm", gamma * p0
     cur_edges = base_edges
     memb: DataFrame | None = None  # composed fine membership
-    # per-level node sizes (CPM null model needs them through collapses)
-    sizes = vertices_of(base_edges).select("id", F.lit(1.0).alias("nsize"))
+    # per-level node sizes (CPM null model needs them through collapses;
+    # find_partition passes carried sizes when re-optimizing a collapse)
+    if init_sizes is not None:
+        sizes = init_sizes.select(
+            "id", F.col(init_sizes.columns[1]).cast("double").alias("nsize"))
+    else:
+        sizes = vertices_of(base_edges).select("id", F.lit(1.0).alias("nsize"))
     history = []
     levels = 0
+
+    def _quality_of(mb: DataFrame) -> float:
+        if objective == "significance":
+            from .objectives import significance_quality
+            return significance_quality(base_edges, mb)
+        if objective == "surprise":
+            from .objectives import surprise_quality
+            return surprise_quality(base_edges, mb)
+        if objective == "cpm":
+            from .objectives import cpm_quality
+            return cpm_quality(base_edges, mb, gamma=gamma)
+        return modularity(base_edges, mb)
     for level in range(max_levels):
         m_edges = cur_edges.count()
         if m_edges == 0:
@@ -636,10 +655,15 @@ def louvain(
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)
         memb = materialize_iter(memb)  # truncate the level-join chain
         levels += 1
-        history.append(
-            {"level": level, "edges": m_edges, "mode": "distributed",
-             "n": n_before, "q": n_after}
-        )
+        entry = {"level": level, "edges": m_edges, "mode": "distributed",
+                 "n": n_before, "q": n_after}
+        if record_quality:
+            # per-level objective value of the composed membership —
+            # the hlpa_record_Q / ledger analogue (src/hlpa.jl:202-257)
+            entry["Q"] = _quality_of(renumber_communities(memb))
+        history.append(entry)
+        if ledger is not None:
+            ledger.record(level, {k: v for k, v in entry.items() if k != "mode"})
         if n_after == n_before:
             break
         cur_edges = materialize_iter(
@@ -654,18 +678,62 @@ def louvain(
     if memb is None:
         memb = vertices_of(base_edges).select("id", F.col("id").alias("comm"))
     memb = renumber_communities(memb)
+    return LouvainResult(memb, _quality_of(memb), levels, history)
+
+
+def find_partition(
+    edges: DataFrame,
+    objective: str = "modularity",
+    gamma: float = 1.0,
+    eps: float = 1e-7,
+    max_rounds: int = 10,
+    **louvain_kw,
+) -> LouvainResult:
+    """Repeat optimization until the quality stabilizes — the
+    reference's find_partition! outer loop (src/Optimiser.jl:135-144).
+
+    Each round re-optimizes the graph *collapsed by the current
+    membership* (carrying community node sizes so size-aware null
+    models stay exact) and composes any further merges; stops when a
+    round improves the quality by ≤ eps. Round-quality history rides on
+    the result."""
+    res = louvain(edges, objective=objective, gamma=gamma, **louvain_kw)
+    memb, q = res.membership, res.quality
+    rounds = [q]
+    base = canonicalize_undirected(edges)
+    for _ in range(1, max_rounds):
+        coarse = collapse_graph(base, memb, directed=False)
+        csizes = memb.groupBy(F.col("comm").alias("id")).agg(
+            F.count(F.lit(1)).cast("double").alias("nsize"))
+        sub = louvain(coarse, objective=objective, gamma=gamma,
+                      init_sizes=csizes, **louvain_kw)
+        merged = sub.membership.select("comm").distinct().count()
+        before = memb.select("comm").distinct().count()
+        if merged >= before:
+            break
+        cand = renumber_communities(from_coarser_partition(memb, sub.membership))
+        # score the candidate on the ORIGINAL graph with the original
+        # objective semantics
+        q2 = _score(edges, cand, objective, gamma)
+        if q2 - q <= eps:
+            break
+        memb, q = cand, q2
+        rounds.append(q)
+    hist = list(res.history) + [{"round_quality": rounds}]
+    return LouvainResult(memb, q, res.levels, hist)
+
+
+def _score(edges: DataFrame, memb: DataFrame, objective: str, gamma: float) -> float:
     if objective == "significance":
         from .objectives import significance_quality
-
-        q = significance_quality(base_edges, memb)
-    elif objective == "surprise":
+        return significance_quality(edges, memb)
+    if objective == "surprise":
         from .objectives import surprise_quality
-
-        q = surprise_quality(base_edges, memb)
-    elif objective == "cpm":
+        return surprise_quality(edges, memb)
+    if objective == "cpm":
         from .objectives import cpm_quality
-
-        q = cpm_quality(base_edges, memb, gamma=gamma)
-    else:
-        q = modularity(base_edges, memb)
-    return LouvainResult(memb, q, levels, history)
+        return cpm_quality(canonicalize_undirected(edges), memb, gamma=gamma)
+    if objective == "rber":
+        from .objectives import rber_quality
+        return rber_quality(edges, memb, gamma=gamma)
+    return modularity(canonicalize_undirected(edges), memb)

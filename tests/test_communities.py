@@ -256,3 +256,29 @@ def test_louvain_setbased_distributed_path(spark):
     res2 = louvain(edges, objective="surprise", local_threshold=0,
                    max_sweeps=40)
     assert nmi(res2.membership, truth) == pytest.approx(1.0)
+
+
+def test_find_partition_outer_loop(spark):
+    """find_partition (src/Optimiser.jl:135-144): repeated re-
+    optimization of the collapsed graph must never lose quality vs a
+    single louvain pass, and must terminate."""
+    from communitydetection_jl_spark.operators.louvain import find_partition
+
+    edges, _ = fx.karate(spark)
+    single = louvain(edges)
+    rep = find_partition(edges, max_rounds=4)
+    assert rep.quality >= single.quality - 1e-12
+    assert rep.quality > 0.40
+    rq = rep.history[-1]["round_quality"]
+    assert all(b >= a - 1e-12 for a, b in zip(rq, rq[1:]))
+
+
+def test_louvain_record_quality(spark):
+    """record_quality=True stamps each distributed level with the
+    objective value of the composed membership (hlpa_record_Q ledger
+    analogue)."""
+    edges, truth = fx.ring_of_cliques(spark)
+    res = louvain(edges, local_threshold=0, record_quality=True, max_sweeps=40)
+    qs = [h["Q"] for h in res.history if "Q" in h]
+    assert qs, "expected per-level Q entries"
+    assert qs[-1] == pytest.approx(res.quality, abs=1e-9)
