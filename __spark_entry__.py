@@ -537,6 +537,21 @@ def q_kclique(spark, sf_dir):
     return kclique_percolation(_part_edges(spark, sf_dir), k=3)
 
 
+def q_kclique3_counts(spark, sf_dir):
+    """Per-vertex 3-clique membership counts from the k-clique
+    enumerator (operators/kclique.py) — must agree with the
+    independently-computed per-vertex triangle counts (SQL oracle),
+    tying the CPM machinery to an exact relational identity."""
+    from communitydetection_jl_spark.operators.kclique import k_cliques
+
+    cl = k_cliques(_part_edges(spark, sf_dir), 3)
+    return (
+        cl.select(F.explode("members").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
 def q_lang_prf(spark, sf_dir):
     """Per-class precision/recall/F1 of the heuristic language-id vs the
     documents table's lang column."""
@@ -602,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap": q_infomap,
         "infomap_directed": q_infomap_directed,
         "kclique": q_kclique,
+        "kclique3_counts": q_kclique3_counts,
         "lang_prf": q_lang_prf,
     }
 
@@ -1172,6 +1188,18 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_full": _pagerank_full_oracle(),
         "lsh_near_vectors": _lsh_near_vectors_oracle(),
         "lpa_full": _lpa_full_oracle(),
+        "kclique3_counts": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+            cn AS (
+              SELECT e.src, e.dst, COUNT(*) AS c
+              FROM e JOIN sym s1 ON s1.src = e.src
+                     JOIN sym s2 ON s2.src = e.dst AND s2.dst = s1.dst
+              GROUP BY e.src, e.dst),
+            inc AS (SELECT src AS id, c FROM cn UNION ALL SELECT dst AS id, c FROM cn)
+            SELECT id, CAST(SUM(c) / 2 AS BIGINT) AS triangles
+            FROM inc GROUP BY 1 HAVING SUM(c) > 0
+        """,
         "significance_score": _significance_oracle(),
         "surprise_score": _surprise_oracle(),
         "rber_score": _rber_oracle(),
