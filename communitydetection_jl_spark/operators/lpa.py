@@ -67,6 +67,7 @@ def lpa_superstep(
     sticky: bool = True,
     active_parity: int | None = None,
     parity_expr=None,
+    active: DataFrame | None = None,
 ) -> DataFrame:
     """One gather/argmax superstep. ``sym_edges`` is (src, dst, vote),
     or bare (src, dst) for the unit-vote fast path — then votes are
@@ -81,9 +82,23 @@ def lpa_superstep(
     state = labels.select("id", "lbl")
     unit = "vote" not in sym_edges.columns
     if unit:
-        gather = sym_edges.join(
-            state.withColumnRenamed("id", "dst"), "dst"
-        ).select(F.col("src").alias("id"), "lbl", F.lit(False).alias("cur"))
+        if "srcs" in sym_edges.columns:
+            # CSR gather: one row per speaker with its listener array
+            # (dst, srcs) — half the bytes and n joins instead of 2m
+            # (same fast path as PageRank's uniform arcs)
+            gather = sym_edges.join(
+                state.withColumnRenamed("id", "dst"), "dst"
+            ).select(
+                F.explode("srcs").alias("id"), "lbl", F.lit(False).alias("cur")
+            )
+            if active is not None:
+                gather = gather.join(
+                    F.broadcast(active), "id", "left_semi"
+                )
+        else:
+            gather = sym_edges.join(
+                state.withColumnRenamed("id", "dst"), "dst"
+            ).select(F.col("src").alias("id"), "lbl", F.lit(False).alias("cur"))
         self_rows = state.select("id", "lbl", F.lit(True).alias("cur"))
         # ONE exchange per superstep: hash-partitioning by id alone
         # satisfies the clustering needs of BOTH the (id,lbl) count agg
@@ -202,14 +217,23 @@ def label_propagation(
     sticky tie-breaking (a vertex whose vote multiset is unchanged
     keeps its label)."""
     spark = edges.sparkSession
-    P = spark.sparkContext.defaultParallelism
-    loop = StateLoop(spark, state_name, mode=mode, bucket_key="id", ledger=ledger)
+    import os as _os
+
+    # fixed partition/bucket count across cluster sizes (see pagerank)
+    P = int(_os.environ.get("SPARK_GRAFT_STATE_PARTS", "0")) or \
+        spark.sparkContext.defaultParallelism
+    loop = StateLoop(spark, state_name, mode=mode, bucket_key="id",
+                     parts=P, ledger=ledger)
 
     sym_plan = _vote_edges(edges, weighted, cn_bonus)
+    unit = "vote" not in sym_plan.columns
     sym_table = None
     if mode == "tables":
         sym_table = f"{loop.name}_sym"
         loop._drop_table(sym_table)
+        if unit:
+            # CSR speaker table (dst, srcs): halves gather bytes
+            sym_plan = sym_plan.groupBy("dst").agg(F.collect_list("src").alias("srcs"))
         (
             sym_plan.repartition(P, "dst")
             .write.bucketBy(P, "dst")
@@ -220,6 +244,7 @@ def label_propagation(
     else:
         sym = sym_plan.repartition(P, "dst").persist()
         sym.count()
+    csr = "srcs" in sym.columns
 
     state = None
     if ledger is not None:
@@ -235,9 +260,15 @@ def label_propagation(
         # deg rides in the state so each superstep can OBSERVE
         # sum(deg of movers) — an upper bound on the next active set,
         # gating the frontier broadcast safely even with hub vertices
-        degs = sym.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("deg")
-        )
+        if csr:
+            degs = (
+                sym.select(F.explode("srcs").alias("id"))
+                .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+            )
+        else:
+            degs = sym.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
         state = loop.init(
             labels0.join(degs, "id", "left").select(
                 "id",
@@ -252,12 +283,17 @@ def label_propagation(
     it = start_iter
     changed_cnt = wants_cnt = None  # unknown -> full gather
     frontier_bound = None
+    # shuffle partitions = bucket count keeps the gather agg and the
+    # state join co-partitioned with zero extra exchange
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
     with no_aqe(spark):
         while it < max_iter:
             parity = it % 2 if semi_sync else None
             it += 1
 
             gather_sym = sym
+            active_set = None
             small_frontier = (
                 frontier
                 and changed_cnt is not None
@@ -267,19 +303,29 @@ def label_propagation(
             if small_frontier:
                 movers = state.filter("changed").select("id")
                 gated = state.filter("wants and not changed").select("id")
-                nbrs = sym.join(
-                    F.broadcast(movers.withColumnRenamed("id", "dst")),
-                    "dst",
-                    "left_semi",
-                ).select(F.col("src").alias("id"))
+                if csr:
+                    nbrs = sym.join(
+                        F.broadcast(movers.withColumnRenamed("id", "dst")),
+                        "dst", "left_semi",
+                    ).select(F.explode("srcs").alias("id"))
+                else:
+                    nbrs = sym.join(
+                        F.broadcast(movers.withColumnRenamed("id", "dst")),
+                        "dst", "left_semi",
+                    ).select(F.col("src").alias("id"))
                 active = (
                     nbrs.unionByName(movers).unionByName(gated).distinct()
                 )
-                gather_sym = sym.join(
-                    F.broadcast(active.withColumnRenamed("id", "src")),
-                    "src",
-                    "left_semi",
-                )
+                if csr:
+                    # CSR rows can't be pre-filtered by listener; the
+                    # broadcast filter applies right after the explode
+                    active_set = active
+                else:
+                    gather_sym = sym.join(
+                        F.broadcast(active.withColumnRenamed("id", "src")),
+                        "src",
+                        "left_semi",
+                    )
 
             stepped = lpa_superstep(
                 gather_sym,
@@ -287,6 +333,7 @@ def label_propagation(
                 sticky=sticky,
                 active_parity=parity,
                 parity_expr=parity_expr,
+                active=active_set,
             ).join(state.select("id", "deg"), "id")
             state, got = loop.step(
                 stepped,
@@ -306,6 +353,7 @@ def label_propagation(
             if changed_cnt == 0 and wants_cnt == 0:
                 break
 
+    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     if mode != "tables":
         sym.unpersist()
     else:
