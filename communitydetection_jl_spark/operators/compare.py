@@ -260,3 +260,63 @@ def rnmi(ma: DataFrame, mb: DataFrame, n_shuffles: int = 10, seed: int = 42) -> 
         mean_rand += nmi(shuf, mb)
     lbl_seq.unpersist()
     return base - mean_rand / n_shuffles
+
+
+def overlap_nmi_df(ma: DataFrame, mb: DataFrame, n: int | None = None) -> float:
+    """LFK cover-NMI over *membership-pair DataFrames* (id, label) —
+    the distributed counterpart of overlap_nmi (src/overlapnmi.jl:7-43
+    semantics), usable on covers far too large to collect.
+
+    One id⋈id join builds all cluster intersections; the candidate
+    h(X_i|Y_j) table is a (clusters_a × clusters_b) cross join of the
+    two (small) cluster-size tables — cluster counts, not vertices —
+    with the LFK informativeness constraint and per-cluster min as
+    column expressions + one groupBy."""
+    la, lb = ma.columns[1], mb.columns[1]
+    a = ma.select("id", F.col(la).alias("ca"))
+    b = mb.select("id", F.col(lb).alias("cb"))
+    if n is None:
+        n = (
+            a.select("id").unionByName(b.select("id")).distinct().count()
+        )
+    if n == 0:
+        return 0.0
+    nd = float(n)
+    sa = a.groupBy("ca").agg(F.count(F.lit(1)).alias("na"))
+    sb = b.groupBy("cb").agg(F.count(F.lit(1)).alias("nb"))
+    inter = a.join(b, "id").groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("nij"))
+
+    def h(p):
+        return F.when((p > 0) & (p < 1), -p * F.log(p)).otherwise(F.lit(0.0))
+
+    def _cond_entropy(sx, sy, xcol, ycol, nx, ny):
+        """Σ_i min over j of h(X_i|Y_j) (guarded), normalized by Σ h(X_i)."""
+        cross = (
+            sx.crossJoin(sy)
+            .join(inter, ["ca", "cb"], "left")
+            .withColumn("nij", F.coalesce("nij", F.lit(0)))
+        )
+        p11 = F.col("nij") / nd
+        p10 = (F.col(nx) - F.col("nij")) / nd
+        p01 = (F.col(ny) - F.col("nij")) / nd
+        p00 = 1.0 - p11 - p10 - p01
+        pa = F.col(nx) / nd
+        pb = F.col(ny) / nd
+        informative = (h(p11) + h(p00)) >= (h(p01) + h(p10))
+        hxy = (h(p11) + h(p10) + h(p01) + h(p00)) - (h(pb) + h(1 - pb))
+        best = (
+            cross.groupBy(xcol, nx)
+            .agg(F.min(F.when(informative, hxy)).alias("best"))
+        )
+        hx = h(F.col(nx) / nd) + h(1 - F.col(nx) / nd)
+        per = best.select(
+            hx.alias("hx"),
+            F.least(F.coalesce("best", hx), hx).alias("val"),
+        )
+        row = per.agg(F.sum("val").alias("tot"), F.sum("hx").alias("den")).collect()[0]
+        tot, den = float(row["tot"] or 0.0), float(row["den"] or 0.0)
+        return (tot / den) if den > 0 else 0.0
+
+    h_a_b = _cond_entropy(sa, sb, "ca", "cb", "na", "nb")
+    h_b_a = _cond_entropy(sb, sa, "cb", "ca", "nb", "na")
+    return 1.0 - 0.5 * (h_a_b + h_b_a)

@@ -110,3 +110,27 @@ def test_rnmi_distributed(spark):
     assert r1 == _pt.approx(r2, abs=1e-12)
     assert r1 < nmi(ma, mb)
     assert r1 > 0.5
+
+
+def test_overlap_nmi_df_matches_driver(spark):
+    """The distributed cover-NMI must equal the driver-list version on
+    overlapping covers, and be 1.0 for identical covers."""
+    from communitydetection_jl_spark.operators.compare import (
+        overlap_nmi,
+        overlap_nmi_df,
+    )
+
+    cover_a = [[1, 2, 3, 4], [4, 5, 6], [7, 8]]
+    cover_b = [[1, 2, 3], [4, 5, 6, 7], [7, 8]]
+
+    def to_df(cover):
+        rows = [(i, lbl) for lbl, grp in enumerate(cover) for i in grp]
+        return spark.createDataFrame(rows, "id long, comm long")
+
+    import pytest as _pt
+
+    got = overlap_nmi_df(to_df(cover_a), to_df(cover_b))
+    want = overlap_nmi(cover_a, cover_b)
+    assert got == _pt.approx(want, abs=1e-12)
+    same = overlap_nmi_df(to_df(cover_a), to_df(cover_a))
+    assert same == _pt.approx(1.0, abs=1e-12)
