@@ -38,9 +38,15 @@ def hlpa(
     max_levels: int = 10,
     max_iter: int = 100,
     ledger=None,
+    record_quality: bool = False,
 ) -> HLPAResult:
     """Hierarchical LPA. ``use_similarity=True`` weights the first level
-    by (cn+2)/(deg_u+deg_v-cn) like the reference default."""
+    by (cn+2)/(deg_u+deg_v-cn) like the reference default.
+    ``record_quality=True`` stamps each level's history entry with the
+    modularity of the composed membership on the base graph — the
+    per-level Q ledger of hlpa_record_Q (src/hlpa.jl:202-257; per-move
+    Q is meaningless under bulk-synchronous sweeps, per-level is the
+    faithful granularity)."""
     base = canonicalize_undirected(edges)
     if use_similarity:
         cur = similarity(base).select("src", "dst", F.col("similarity").alias("weight"))
@@ -60,10 +66,17 @@ def hlpa(
         lvl = res.labels  # (id, comm)
         n = lvl.count()
         q = lvl.select("comm").distinct().count()
-        history.append({"level": level, "n": n, "communities": q,
-                        "lpa_iters": res.iterations})
+        entry = {"level": level, "n": n, "communities": q,
+                 "lpa_iters": res.iterations}
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)
         memb = materialize_iter(memb)  # truncate the level-join chain
+        if record_quality:
+            from .modularity import modularity
+
+            entry["Q"] = modularity(base, memb)
+            if ledger is not None:
+                ledger.record(level, {"communities": q, "Q": entry["Q"]})
+        history.append(entry)
         levels += 1
         if prev_q is not None and q >= prev_q:
             break

@@ -282,3 +282,23 @@ def test_louvain_record_quality(spark):
     qs = [h["Q"] for h in res.history if "Q" in h]
     assert qs, "expected per-level Q entries"
     assert qs[-1] == pytest.approx(res.quality, abs=1e-9)
+
+
+def test_lpa_tables_csr_matches_dir(spark):
+    """tables mode (CSR speaker arrays + bucketed state) must produce
+    exactly the labels of the plain dir mode."""
+    edges, _ = fx.ring_of_cliques(spark)
+    a = {(r.id, r.comm) for r in lpa(edges, max_iter=15, mode="dir").labels.collect()}
+    b = {(r.id, r.comm) for r in lpa(edges, max_iter=15, mode="tables").labels.collect()}
+    assert a == b
+
+
+def test_hlpa_record_quality(spark):
+    """hlpa(record_quality=True): per-level modularity of the composed
+    membership rides in the history (hlpa_record_Q ledger analogue)."""
+    edges, truth = fx.ring_of_cliques(spark)
+    res = hlpa(edges, record_quality=True)
+    qs = [h["Q"] for h in res.history if "Q" in h]
+    assert qs
+    assert qs[-1] == pytest.approx(modularity(edges, res.membership), abs=1e-9)
+    assert nmi(res.membership, truth) == pytest.approx(1.0)
