@@ -76,3 +76,57 @@ def link_rate(pages_stream: DataFrame, window: str = "1 hour", slide: str = "15 
     return links.groupBy(F.window("warc_ts", window, slide), "host").agg(
         F.sum("n_links").alias("outlinks"), F.count("*").alias("pages")
     )
+
+
+def streaming_degrees(links: DataFrame) -> DataFrame:
+    """Stateful per-vertex out-degree maintained across micro-batches
+    (applyInPandasWithState keyed by src) — the streaming complement of
+    the batch degree precomputation (operators/degrees.py): a crawl
+    stream keeps per-vertex degree state current so iterative jobs
+    (PageRank shares = p/outdeg) can restart from fresh statistics
+    without rescanning the corpus.
+
+    Input: a streaming (src, dst, warc_ts) link DataFrame. Output per
+    update: (id, outdeg, last_ts). State is one (long, timestamp) pair
+    per vertex — Arrow-batched pandas, no per-row Python."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType([
+        StructField("id", LongType()),
+        StructField("outdeg", LongType()),
+        StructField("last_ts", TimestampType()),
+    ])
+    state_schema = StructType([
+        StructField("outdeg", LongType()),
+        StructField("last_ts", TimestampType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        new = 0
+        last = None
+        for pdf in pdfs:
+            new += len(pdf)
+            ts = pdf["warc_ts"].max()
+            last = ts if last is None else max(last, ts)
+        if state.exists:
+            (old_deg, old_ts) = state.get
+            deg = int(old_deg) + new
+            if last is None or (old_ts is not None and old_ts > last):
+                last = old_ts
+        else:
+            deg = new
+        state.update((deg, last))
+        yield pd.DataFrame({"id": [key[0]], "outdeg": [deg], "last_ts": [last]})
+
+    return (
+        links.groupBy("src")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "Update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -195,3 +195,40 @@ def test_slpa_beta_exponent(spark):
     a = {(r.id, r.comm) for r in slpa(edges, iterations=8, beta=2.0).membership.collect()}
     b = {(r.id, r.comm) for r in slpa(edges, iterations=8, beta=2.0).membership.collect()}
     assert a == b
+
+
+def test_streaming_degrees_stateful(spark, tmp_path):
+    """applyInPandasWithState degree maintenance: state accumulates
+    across micro-batches and the final per-vertex outdeg equals the
+    batch groupBy count."""
+    import datetime as dt
+
+    links_dir = str(tmp_path / "links")
+    rows1 = [(1, 10, dt.datetime(2024, 1, 1)), (1, 11, dt.datetime(2024, 1, 1)),
+             (2, 10, dt.datetime(2024, 1, 2))]
+    rows2 = [(1, 12, dt.datetime(2024, 1, 3)), (3, 10, dt.datetime(2024, 1, 3))]
+    schema = "src long, dst long, warc_ts timestamp"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(links_dir)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(links_dir)
+
+    from communitydetection_jl_spark.streaming.ingest import streaming_degrees
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(links_dir)
+    )
+    out = streaming_degrees(stream)
+    q = (
+        out.writeStream.format("memory").queryName("degs")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    import pyspark.sql.functions as SF
+
+    final = (
+        spark.sql("SELECT * FROM degs")
+        .groupBy("id").agg(SF.max("outdeg").alias("outdeg"))
+    )
+    got = {r.id: r.outdeg for r in final.collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
