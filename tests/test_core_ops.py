@@ -139,3 +139,18 @@ def test_comm_stats_invariants(spark):
     assert total_k == pytest.approx(2 * 78.0)
     assert total_inner <= 78.0
     assert sum(r.csize for r in cs) == 34
+
+
+def test_pagerank_weighted_vs_oracle(spark):
+    """Non-uniform weights exercise the per-arc trans-prob path (the
+    CSR fast path only serves uniform weights); NumPy oracle parity."""
+    import numpy as np
+
+    arcs = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0),
+            (2, 4, 0.5)]
+    edges = spark.createDataFrame(arcs, "src long, dst long, weight double")
+    res = pagerank(edges, damping=0.85, tol=1e-12, max_iter=500)
+    got = {r.id: r.pagerank for r in res.ranks.collect()}
+    want = np_pagerank(arcs)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
