@@ -72,6 +72,12 @@ def run_bench(cpus: int, sf_dir: str, n_pages: int) -> dict:
         cmd,
         capture_output=True, text=True, env=env,
     )
+    # RAM-backed residue (kept-final state tables, bench edge parquet)
+    # must not accumulate across legs — tmpfs is the host's memory
+    import shutil
+    for d in (env.get("SPARK_GRAFT_WAREHOUSE"), env.get("SPARK_GRAFT_LOCAL_DIR")):
+        if d and d.startswith("/dev/shm"):
+            shutil.rmtree(d, ignore_errors=True)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-8000:])
         raise RuntimeError(f"bench at {cpus} cores failed (rc={out.returncode})")
