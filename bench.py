@@ -35,6 +35,13 @@ from communitydetection_jl_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if os.path.isdir("/dev/shm"):
+        # RAM-backed shuffle/state on a RAM-rich box — the same config
+        # scaling_bench pins; atexit purge (functions/scratch.py +
+        # bench epath registration) keeps tmpfs clean afterwards
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+        os.environ.setdefault("SPARK_GRAFT_WAREHOUSE", "/dev/shm/spark-warehouse")
+        os.environ.setdefault("SPARK_GRAFT_STATE_DIR", "/dev/shm")
     n_pages = int(os.environ.get("BENCH_PAGES", "200000"))
     outlinks = float(os.environ.get("BENCH_OUTLINKS", "16"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -180,6 +187,7 @@ def main() -> None:
             "metric": "bench_suite_seconds", "value": total, "unit": "sec",
             "queries": queries, "sf": sf, "cpus": cpus, "extras": extras,
         }))
+        _register_warehouse_residue()
         return
 
     # ---- operator suite over driver testdata ---------------------------
@@ -209,6 +217,19 @@ def main() -> None:
         "cpus": cpus,
         "extras": extras,
     }))
+    _register_warehouse_residue()
+
+
+def _register_warehouse_residue() -> None:
+    """Kept-final state tables of THIS bench process (pid-suffixed)
+    purge at exit; other processes' tables are untouched."""
+    import glob
+
+    from communitydetection_jl_spark.functions.scratch import register
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE", "")
+    if wh and os.path.isdir(wh):
+        for p in glob.glob(os.path.join(wh, f"*_{os.getpid()}_*")):
+            register(p)
 
 
 if __name__ == "__main__":

@@ -487,14 +487,24 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     verts = vertices_of(edges)
     row = (
         with_weight(edges)
-        .agg(F.sum("weight").alias("m"))
+        .agg(F.sum("weight").alias("m"), F.count(F.lit(1)).alias("cnt"))
         .collect()[0]
     )
     m = float(row["m"] or 0.0)
-    loop = StateLoop(spark, f"louvain_l{level}", bucket_key="id", ledger=None)
+    # size the sweep's task granularity to the level's data: a 100k-edge
+    # level on 32 cores would otherwise run ~15 stages × 32 near-empty
+    # tasks per sweep — pure scheduling overhead (measured 126s → the
+    # whole point of partition-count ∝ data)
+    m_cnt = int(row["cnt"] or 0)
+    parts = max(4, min(spark.sparkContext.defaultParallelism, m_cnt // 50_000 + 1))
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    loop = StateLoop(spark, f"louvain_l{level}", bucket_key="id",
+                     parts=parts, ledger=None)
     memb = loop.init(verts.select("id", F.col("id").alias("comm")))
     n = memb.count()
     if m <= 0:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         loop.cleanup(keep_final=True)
         return memb
     setbased = objective in ("significance", "surprise")
@@ -539,6 +549,7 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                     break
             else:
                 low_streak = 0
+    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     aux.unpersist()
     loop.cleanup(keep_final=True)
     return memb.select("id", "comm")
