@@ -241,7 +241,13 @@ def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
 
     spark = arcs.sparkSession
     verts = vertices_of(arcs)
-    loop = StateLoop(spark, f"infomap_l{level}", bucket_key="id", ledger=None)
+    # task granularity ∝ level data (see louvain._distributed_level)
+    m_cnt = arcs.count()
+    parts = max(4, min(spark.sparkContext.defaultParallelism, m_cnt // 50_000 + 1))
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    loop = StateLoop(spark, f"infomap_l{level}", bucket_key="id",
+                     parts=parts, ledger=None)
     memb = loop.init(verts.select("id", F.col("id").alias("comm")))
     n = memb.count()
     flows = flows.persist()
@@ -264,6 +270,7 @@ def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
                     break
             else:
                 low_streak = 0
+    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     flows.unpersist()
     loop.cleanup(keep_final=True)
     return memb.select("id", "comm")
