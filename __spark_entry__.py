@@ -730,7 +730,9 @@ def _lang_prf_oracle() -> str:
                       CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS prec,
                       CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS rec
                FROM base)
-        SELECT label, tp, fp, fn,
+        SELECT label,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
                ROUND(prec, 6) AS precision, ROUND(rec, 6) AS recall,
                ROUND(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
                           ELSE 0.0 END, 6) AS f_beta
