@@ -94,6 +94,48 @@ def materialize_iter(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
     return new
 
 
+def csr_adjacency(
+    pairs: DataFrame,
+    key: str,
+    nbr: str,
+    out_col: str,
+    cap: int | None = None,
+) -> DataFrame:
+    """Grouped adjacency arrays ``(key, array<nbr>)`` with a hard
+    per-row size cap.
+
+    A bare ``groupBy(key).collect_list(nbr)`` puts a vertex's entire
+    neighbor list in ONE row; web-scale hubs (in-degree 1e7+) would
+    yield 100+ MB rows — unsplittable tasks and executor OOM. Keys
+    whose degree exceeds ``cap`` are instead split into
+    ``ceil(deg/cap)`` chunk rows via ``pmod(xxhash64(nbr), nchunks)``,
+    so every array row holds ~cap neighbors in expectation and at most
+    a small constant factor more. Consumers explode the array, so
+    multiple rows per key are semantically identical to one; keys at or
+    below the cap still produce exactly one row (``groupBy`` emits only
+    non-empty chunks, and nchunks=1 for them).
+
+    The degree join costs one extra build-time shuffle of ``pairs``;
+    the per-superstep gather plans are unchanged. ``cap`` defaults to
+    ``$SPARK_GRAFT_CSR_CAP`` (65536): a 1e7-degree hub becomes ~153
+    rows of ~0.5 MB each.
+    """
+    import os
+
+    if cap is None:
+        cap = int(os.environ.get("SPARK_GRAFT_CSR_CAP", "65536"))
+    degs = pairs.groupBy(key).agg(F.count(F.lit(1)).alias("_deg"))
+    nchunks = F.greatest(
+        F.lit(1), F.ceil(F.col("_deg") / F.lit(cap))
+    ).cast("int")
+    return (
+        pairs.join(degs, key)
+        .groupBy(key, F.pmod(F.xxhash64(nbr), nchunks).alias("_chunk"))
+        .agg(F.collect_list(nbr).alias(out_col))
+        .drop("_chunk")
+    )
+
+
 def num_edges(edges: DataFrame) -> int:
     return edges.count()
 

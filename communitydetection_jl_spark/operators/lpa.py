@@ -48,7 +48,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import vertices_of, with_weight
+from ..functions.graph import csr_adjacency, vertices_of, with_weight
 from ..plans.iterstate import StateLoop, no_aqe
 from .triangles import edge_common_neighbors
 
@@ -232,8 +232,12 @@ def label_propagation(
         sym_table = f"{loop.name}_sym"
         loop._drop_table(sym_table)
         if unit:
-            # CSR speaker table (dst, srcs): halves gather bytes
-            sym_plan = sym_plan.groupBy("dst").agg(F.collect_list("src").alias("srcs"))
+            # CSR speaker table (dst, srcs): halves gather bytes.
+            # Hub rows are chunked at ~64k neighbors (csr_adjacency) so
+            # no single row ever holds a web-hub's full in-link list;
+            # the gather explodes the arrays, so chunking is invisible
+            # to the superstep semantics (lpa_full oracle pins this).
+            sym_plan = csr_adjacency(sym_plan, "dst", "src", "srcs")
         (
             sym_plan.repartition(P, "dst")
             .write.bucketBy(P, "dst")

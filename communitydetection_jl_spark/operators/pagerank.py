@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import vertices_of
+from ..functions.graph import csr_adjacency, vertices_of
 from ..plans.iterstate import StateLoop, no_aqe
 from .degrees import trans_prob_directed
 
@@ -103,10 +103,11 @@ def pagerank(
         # (src, dsts) — ~half the bytes of the (src,dst) pair list and
         # n join probes instead of m per superstep (measured 2.3×
         # faster supersteps at 163M arcs); trans prob is 1/size(dsts)
-        arcs_plan = (
-            edges.select("src", "dst")
-            .groupBy("src")
-            .agg(F.collect_list("dst").alias("dsts"))
+        # hub out-adjacency is chunked at ~64k per row (csr_adjacency)
+        # so a 1e7-out-degree vertex never becomes one giant array row;
+        # the superstep explodes the arrays, so chunk rows sum the same
+        arcs_plan = csr_adjacency(
+            edges.select("src", "dst"), "src", "dst", "dsts"
         )
     else:
         arcs_plan = trans_prob_directed(edges).select(

@@ -141,6 +141,59 @@ def test_comm_stats_invariants(spark):
     assert sum(r.csize for r in cs) == 34
 
 
+def test_csr_chunk_cap_shape(spark):
+    """csr_adjacency splits hub rows at the cap but loses no arcs."""
+    from communitydetection_jl_spark.functions.graph import csr_adjacency, symmetrize
+
+    edges, _ = fx.karate(spark)
+    sym = symmetrize(edges).select("src", "dst")
+    csr = csr_adjacency(sym, "src", "dst", "dsts", cap=3)
+    rows = csr.collect()
+    # hub 34 (deg 17) is hashed over ceil(17/3)=6 buckets: multiple
+    # rows (only non-empty buckets materialize), none holding the
+    # whole neighbor list
+    per_key: dict[int, list] = {}
+    for r in rows:
+        per_key.setdefault(r.src, []).append(list(r.dsts))
+    assert 2 <= len(per_key[34]) <= 6
+    assert max(len(c) for c in per_key[34]) < 17
+    # low-degree keys stay single-row (nchunks=1)
+    assert len(per_key[12]) == 1
+    # exploded union == original adjacency, per key
+    adj = {}
+    for r in sym.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    for k, chunks in per_key.items():
+        got = sorted(x for c in chunks for x in c)
+        assert got == sorted(adj[k]), k
+        assert len(got) == len(set(got))  # no duplicates across chunks
+
+
+def test_csr_chunk_cap_parity(spark, monkeypatch):
+    """PageRank and LPA results are invariant under hub-row chunking
+    (cap=3 forces every karate vertex with deg>3 into multiple rows)."""
+    from communitydetection_jl_spark.functions.graph import symmetrize
+    from communitydetection_jl_spark.operators.lpa import lpa
+
+    edges, _ = fx.karate(spark)
+    arcs_df = symmetrize(edges)
+    base_pr = {r.id: r.pagerank for r in pagerank(arcs_df, tol=1e-10).ranks.collect()}
+    base_lpa = {
+        r.id: r.comm
+        for r in lpa(edges, mode="tables", state_name="csr_base").labels.collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CSR_CAP", "3")
+    got_pr = {r.id: r.pagerank for r in pagerank(arcs_df, tol=1e-10).ranks.collect()}
+    got_lpa = {
+        r.id: r.comm
+        for r in lpa(edges, mode="tables", state_name="csr_cap3").labels.collect()
+    }
+    assert set(got_pr) == set(base_pr)
+    for v, p in base_pr.items():
+        assert got_pr[v] == pytest.approx(p, abs=1e-12)
+    assert got_lpa == base_lpa
+
+
 def test_pagerank_weighted_vs_oracle(spark):
     """Non-uniform weights exercise the per-arc trans-prob path (the
     CSR fast path only serves uniform weights); NumPy oracle parity."""
