@@ -57,6 +57,42 @@ def ranked_by(df: DataFrame, order_col, parts: int | None = None) -> DataFrame:
     return d.select(*out_cols, rank.cast("long").alias("rank"))
 
 
+def rank_window_max() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_RANK_WINDOW_MAX", str(1_000_000)))
+
+
+def rank_small_or_large(
+    df: DataFrame,
+    order_col,
+    n: int | None = None,
+    window_max: int | None = None,
+    parts: int | None = None,
+) -> DataFrame:
+    """``df``'s columns plus dense ``rank`` 1..n by ``order_col`` —
+    without ever planning an unpartitioned global-sort window.
+
+    Inputs at or below ``window_max`` rows (default
+    ``$SPARK_GRAFT_RANK_WINDOW_MAX`` or 1M — comfortably one task) rank
+    in a single-group window partitioned by a constant: same plan cost
+    as the classic global window, but an explicit partition spec, so the
+    single-partition sort is a deliberate bounded choice rather than a
+    scale hazard. Larger inputs take :func:`ranked_by` (range partitions
+    + per-partition offsets + parquet pin). The count that gates the
+    dispatch is one columnar action on a table the callers have already
+    reduced (per-community / per-label, not per-vertex); pass ``n`` if
+    the caller already knows it."""
+    if window_max is None:
+        window_max = rank_window_max()
+    if n is None:
+        n = df.count()
+    if n <= window_max:
+        w = W.partitionBy(F.lit(0)).orderBy(order_col)
+        return df.withColumn("rank", F.row_number().over(w).cast("long"))
+    return ranked_by(df, order_col, parts)
+
+
 def dense_ids(verts: DataFrame, id_col: str = "id", parts: int | None = None) -> DataFrame:
     """Map distinct ``id_col`` values to dense ids ``0..n-1``.
 

@@ -18,10 +18,11 @@ over all vertices.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.graph import with_weight
+from ..functions.ids import rank_small_or_large, rank_window_max
 
 
 def collapse_graph(
@@ -80,13 +81,24 @@ def from_coarser_partition(membership: DataFrame, coarser: DataFrame) -> DataFra
 
 def renumber_communities(membership: DataFrame) -> DataFrame:
     """Dense 1..q community ids in decreasing size order (ties by old
-    id) — src/AbstractPartition.jl:5-21."""
+    id) — src/AbstractPartition.jl:5-21.
+
+    Ranking is global-window-free (rank_small_or_large): a fragmented
+    web graph can leave O(1e8) communities, which an unpartitioned
+    row_number window would sort on a single executor."""
     lbl = membership.columns[1]
     sizes = membership.groupBy(F.col(lbl).alias("_old")).agg(F.count("*").alias("n"))
-    w = W.orderBy(F.desc("n"), F.asc("_old"))
-    mapping = sizes.select("_old", F.row_number().over(w).cast("long").alias("_new"))
+    q = sizes.count()
+    order = F.struct((-F.col("n")).alias("nn"), F.col("_old").alias("o"))
+    mapping = rank_small_or_large(sizes, order, n=q).select(
+        "_old", F.col("rank").alias("_new")
+    )
+    # broadcast only a genuinely small mapping; a fragmented partition
+    # (q ~ n) must shuffle-join instead
+    if q <= rank_window_max():
+        mapping = F.broadcast(mapping)
     return (
         membership.select("id", F.col(lbl).alias("_old"))
-        .join(F.broadcast(mapping), "_old")
+        .join(mapping, "_old")
         .select("id", F.col("_new").alias(lbl))
     )

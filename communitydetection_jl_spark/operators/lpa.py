@@ -374,17 +374,23 @@ def permute_labels(membership: DataFrame) -> DataFrame:
     smallest vertex id gets label 1, etc. (permute_labels!,
     src/utils.jl:14-35, with vertex order = id order).
 
-    The window runs over the (small) per-community table, not over all
-    vertices."""
-    from pyspark.sql import Window as W
+    Ranks over the per-label table (not per-vertex) and without an
+    unpartitioned window (rank_small_or_large): LPA on a fragmented
+    web graph can leave O(1e8) labels, which a global row_number
+    would sort on one executor."""
+    from ..functions.ids import rank_small_or_large, rank_window_max
 
     lbl_col = membership.columns[1]
     m = membership.select("id", F.col(lbl_col).alias("_lbl"))
     firsts = m.groupBy("_lbl").agg(F.min("id").alias("first_id"))
-    w = W.orderBy("first_id")
-    mapping = firsts.select("_lbl", F.row_number().over(w).alias("_new"))
+    q = firsts.count()
+    mapping = rank_small_or_large(firsts, F.col("first_id"), n=q).select(
+        "_lbl", F.col("rank").alias("_new")
+    )
+    if q <= rank_window_max():
+        mapping = F.broadcast(mapping)
     return (
-        m.join(F.broadcast(mapping), "_lbl")
+        m.join(mapping, "_lbl")
         .select("id", F.col("_new").cast("long").alias(lbl_col))
     )
 

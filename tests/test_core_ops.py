@@ -194,6 +194,21 @@ def test_csr_chunk_cap_parity(spark, monkeypatch):
     assert got_lpa == base_lpa
 
 
+def test_rank_dispatch_parity(spark, monkeypatch):
+    """renumber_communities / permute_labels give identical output on
+    the single-group-window path and the distributed ranked_by path
+    (forced via SPARK_GRAFT_RANK_WINDOW_MAX=0)."""
+    from communitydetection_jl_spark.operators.coarsen import renumber_communities
+    from communitydetection_jl_spark.operators.lpa import permute_labels
+
+    edges, truth = fx.karate(spark)
+    base_rn = {r.id: r.comm for r in renumber_communities(truth).collect()}
+    base_pm = {r.id: r.comm for r in permute_labels(truth).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_RANK_WINDOW_MAX", "0")
+    assert {r.id: r.comm for r in renumber_communities(truth).collect()} == base_rn
+    assert {r.id: r.comm for r in permute_labels(truth).collect()} == base_pm
+
+
 def test_pagerank_weighted_vs_oracle(spark):
     """Non-uniform weights exercise the per-arc trans-prob path (the
     CSR fast path only serves uniform weights); NumPy oracle parity."""
