@@ -237,23 +237,21 @@ def _infomap_sweep(arcs: DataFrame, memb: DataFrame, flows: DataFrame,
 def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
                        max_sweeps: int, move_floor: float, ledger=None,
                        level: int = 0) -> DataFrame:
-    from ..plans.iterstate import StateLoop, no_aqe
+    from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
 
     spark = arcs.sparkSession
     verts = vertices_of(arcs)
     # task granularity ∝ level data (see louvain._distributed_level)
     m_cnt = arcs.count()
     parts = max(4, min(spark.sparkContext.defaultParallelism, m_cnt // 50_000 + 1))
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     loop = StateLoop(spark, f"infomap_l{level}", bucket_key="id",
                      parts=parts, ledger=None)
-    memb = loop.init(verts.select("id", F.col("id").alias("comm")))
-    n = memb.count()
     flows = flows.persist()
-    flows.count()
     low_streak = 0
-    with no_aqe(spark):
+    with shuffle_parts(spark, parts), no_aqe(spark):
+        memb = loop.init(verts.select("id", F.col("id").alias("comm")))
+        n = memb.count()
+        flows.count()
         for sweep in range(max_sweeps):
             memb, got = loop.step(
                 _infomap_sweep(arcs, memb.select("id", "comm"), flows,
@@ -270,7 +268,6 @@ def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
                     break
             else:
                 low_streak = 0
-    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     flows.unpersist()
     loop.cleanup(keep_final=True)
     return memb.select("id", "comm")

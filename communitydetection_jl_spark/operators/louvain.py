@@ -427,25 +427,29 @@ def _move_sweep_set(edges: DataFrame, memb: DataFrame, sizes: DataFrame,
             - sig(F.col("cn_c"), F.col("cm_c"))
         )
     else:  # surprise
-        row = cstats.agg(F.sum("cm").alias("mi"),
-                         F.sum(poss_c(F.col("cn"))).alias("pi")).collect()[0]
-        m_in, poss_in = float(row["mi"] or 0.0), float(row["pi"] or 0.0)
+        # the partition-wide scalars (m_in = Σ inner weight, poss_in =
+        # Σ C(csize,2)) ride the sweep plan as a broadcast 1-row scalar
+        # frame instead of a per-sweep driver collect — keeps the
+        # engine-wide one-action-per-superstep discipline (the state
+        # write is the only job; PageRank's dangling mass is the model)
+        sc = cstats.agg(
+            F.coalesce(F.sum("cm"), F.lit(0.0)).alias("_m_in"),
+            F.coalesce(F.sum(poss_c(F.col("cn"))), F.lit(0.0)).alias("_poss_in"),
+        )
+        cand = cand.crossJoin(F.broadcast(sc))
         poss = n_total * (n_total - 1) / 2.0
         M, PS = F.lit(m_total), F.lit(poss)
 
         def surp(mi, pi):
             return F.when((M > 0) & (PS > 0), M * _kl_col(mi / M, pi / PS)).otherwise(F.lit(0.0))
 
-        mi2 = F.lit(m_in) - F.col("w_ucur") + F.col("w_uc")
+        mi2 = F.col("_m_in") - F.col("w_ucur") + F.col("w_uc")
         pi2 = (
-            F.lit(poss_in)
+            F.col("_poss_in")
             - poss_c(F.col("cn_u")) + poss_c(F.col("cn_u") - F.col("s"))
             - poss_c(F.col("cn_c")) + poss_c(F.col("cn_c") + F.col("s"))
         )
-        gain = surp(mi2, pi2) - F.lit(
-            (m_total * _kl(m_in / m_total, poss_in / poss))
-            if m_total > 0 and poss > 0 else 0.0
-        )
+        gain = surp(mi2, pi2) - surp(F.col("_m_in"), F.col("_poss_in"))
     best = (
         cand.withColumn("gain", gain)
         .groupBy("id")
@@ -481,7 +485,7 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
 
     Per sweep ONE action (plans/iterstate.py): the membership write
     carries the moved-count as an observe() metric."""
-    from ..plans.iterstate import StateLoop, no_aqe
+    from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
 
     spark = edges.sparkSession
     verts = vertices_of(edges)
@@ -497,14 +501,12 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     # whole point of partition-count ∝ data)
     m_cnt = int(row["cnt"] or 0)
     parts = max(4, min(spark.sparkContext.defaultParallelism, m_cnt // 50_000 + 1))
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     loop = StateLoop(spark, f"louvain_l{level}", bucket_key="id",
                      parts=parts, ledger=None)
-    memb = loop.init(verts.select("id", F.col("id").alias("comm")))
-    n = memb.count()
+    with shuffle_parts(spark, parts):
+        memb = loop.init(verts.select("id", F.col("id").alias("comm")))
+        n = memb.count()
     if m <= 0:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         loop.cleanup(keep_final=True)
         return memb
     setbased = objective in ("significance", "surprise")
@@ -525,7 +527,7 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     aux.count()
     bs = base_scalars or {}
     low_streak = 0
-    with no_aqe(spark):
+    with shuffle_parts(spark, parts), no_aqe(spark):
         for sweep in range(max_sweeps):
             if setbased:
                 plan = _move_sweep_set(
@@ -549,7 +551,6 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                     break
             else:
                 low_streak = 0
-    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     aux.unpersist()
     loop.cleanup(keep_final=True)
     return memb.select("id", "comm")

@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.graph import csr_adjacency, vertices_of, with_weight
-from ..plans.iterstate import StateLoop, no_aqe
+from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
 from .triangles import edge_common_neighbors
 
 
@@ -288,10 +288,9 @@ def label_propagation(
     changed_cnt = wants_cnt = None  # unknown -> full gather
     frontier_bound = None
     # shuffle partitions = bucket count keeps the gather agg and the
-    # state join co-partitioned with zero extra exchange
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(P))
-    with no_aqe(spark):
+    # state join co-partitioned with zero extra exchange (restored via
+    # context manager even if a superstep raises)
+    with shuffle_parts(spark, P), no_aqe(spark):
         while it < max_iter:
             parity = it % 2 if semi_sync else None
             it += 1
@@ -357,7 +356,6 @@ def label_propagation(
             if changed_cnt == 0 and wants_cnt == 0:
                 break
 
-    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     if mode != "tables":
         sym.unpersist()
     else:

@@ -63,6 +63,26 @@ class no_aqe:
         return False
 
 
+class shuffle_parts:
+    """Pin spark.sql.shuffle.partitions for the duration of an
+    iteration loop, restoring the previous value even if the loop
+    raises (an exception would otherwise leak a loop-sized override —
+    possibly as low as 4 partitions — into every later query)."""
+
+    def __init__(self, spark: SparkSession, parts: int):
+        self.spark = spark
+        self.parts = parts
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 class StateLoop:
     """Owns the materialized per-iteration state of one algorithm run.
 
