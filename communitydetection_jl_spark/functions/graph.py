@@ -100,9 +100,16 @@ def csr_adjacency(
     nbr: str,
     out_col: str,
     cap: int | None = None,
+    payload=None,
 ) -> DataFrame:
     """Grouped adjacency arrays ``(key, array<nbr>)`` with a hard
     per-row size cap.
+
+    ``payload`` (optional column expression, default ``col(nbr)``)
+    is what gets collected per neighbor — e.g.
+    ``F.struct("dst", "tp")`` for a weighted CSR whose rows carry
+    (dst, trans_prob) pairs. Chunking always keys on the plain ``nbr``
+    column so the row-size bound is independent of payload shape.
 
     A bare ``groupBy(key).collect_list(nbr)`` puts a vertex's entire
     neighbor list in ONE row; web-scale hubs (in-degree 1e7+) would
@@ -131,7 +138,7 @@ def csr_adjacency(
     return (
         pairs.join(degs, key)
         .groupBy(key, F.pmod(F.xxhash64(nbr), nchunks).alias("_chunk"))
-        .agg(F.collect_list(nbr).alias(out_col))
+        .agg(F.collect_list(payload if payload is not None else F.col(nbr)).alias(out_col))
         .drop("_chunk")
     )
 
