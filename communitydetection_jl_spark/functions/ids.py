@@ -75,10 +75,17 @@ def rank_small_or_large(
 
     Inputs at or below ``window_max`` rows (default
     ``$SPARK_GRAFT_RANK_WINDOW_MAX`` or 1M — comfortably one task) rank
-    in a single-group window partitioned by a constant: same plan cost
-    as the classic global window, but an explicit partition spec, so the
-    single-partition sort is a deliberate bounded choice rather than a
-    scale hazard. Larger inputs take :func:`ranked_by` (range partitions
+    via repartition(1) + in-partition sort + monotonically_increasing_id
+    (partition 0 → consecutive ids from 0): the same physical cost as a
+    single-partition window — one exchange plus one bounded sort — but
+    WITHOUT planning a WindowExec at all. A constant-partitioned window
+    (``partitionBy(lit(0))``) is NOT equivalent: when the plan lands
+    under a broadcast-exchange subtree the re-optimization
+    constant-folds the literal out of the partition spec, leaving an
+    unpartitioned WindowExec (the "No Partition Defined" scale warning
+    this helper exists to avoid). Deterministic because ``order_col``
+    is required to be a total order (callers append a unique tiebreak
+    column). Larger inputs take :func:`ranked_by` (range partitions
     + per-partition offsets + parquet pin). The count that gates the
     dispatch is one columnar action on a table the callers have already
     reduced (per-community / per-label, not per-vertex); pass ``n`` if
@@ -88,8 +95,15 @@ def rank_small_or_large(
     if n is None:
         n = df.count()
     if n <= window_max:
-        w = W.partitionBy(F.lit(0)).orderBy(order_col)
-        return df.withColumn("rank", F.row_number().over(w).cast("long"))
+        d = (
+            df.withColumn("_ord", order_col)
+            .repartition(1)
+            .sortWithinPartitions("_ord")
+        )
+        return d.select(
+            *df.columns,
+            (F.monotonically_increasing_id() + 1).cast("long").alias("rank"),
+        )
     return ranked_by(df, order_col, parts)
 
 
