@@ -123,24 +123,43 @@ def expected_mutual_info(marg_a: list[int], marg_b: list[int]) -> float:
     """E[MI] under the hypergeometric permutation model (the correction
     inside sklearn's adjusted_mutual_info_score, which the reference
     delegates to via PyCall, src/metrics.jl:452-515). Driver-side over
-    the two marginal vectors — label counts, not rows."""
+    the two marginal vectors — label counts, not rows.
+
+    Float log-gamma throughout (the same formulation as sklearn's
+    expected_mutual_information): the hypergeometric pmf at the lowest
+    admissible ``nij`` comes from one ``lgamma`` expression and every
+    further term reuses the ratio recurrence
+
+        p(nij+1) = p(nij) · (ai−nij)(bj−nij) / ((nij+1)(n−ai−bj+nij+1)),
+
+    so each (ai, bj) cell costs O(min(ai,bj)−lo) float mults — exact
+    ``math.comb`` on 1e5+ rows would grind through million-bit integers
+    and effectively hang."""
     import math
 
     n = sum(marg_a)
     if n == 0 or n != sum(marg_b):
         return 0.0
+    lg = math.lgamma
+    log_n = math.log(n)
     emi = 0.0
     for ai in marg_a:
+        log_ai = math.log(ai)
         for bj in marg_b:
             lo = max(1, ai + bj - n)
             hi = min(ai, bj)
+            # log pmf at nij=lo: C(bj,lo)·C(n−bj,ai−lo)/C(n,ai)
+            logp = (
+                lg(bj + 1) - lg(lo + 1) - lg(bj - lo + 1)
+                + lg(n - bj + 1) - lg(ai - lo + 1) - lg(n - bj - ai + lo + 1)
+                - lg(n + 1) + lg(ai + 1) + lg(n - ai + 1)
+            )
+            p = math.exp(logp)
             for nij in range(lo, hi + 1):
-                p = (
-                    math.comb(bj, nij) * math.comb(n - bj, ai - nij)
-                    / math.comb(n, ai)
-                )
-                if p > 0 and nij > 0:
-                    emi += (nij / n) * math.log(n * nij / (ai * bj)) * p
+                if nij > 0 and p > 0:
+                    emi += (nij / n) * (log_n + math.log(nij) - log_ai - math.log(bj)) * p
+                if nij < hi:
+                    p *= (ai - nij) * (bj - nij) / ((nij + 1) * (n - ai - bj + nij + 1))
     return emi
 
 
