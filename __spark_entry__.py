@@ -484,10 +484,18 @@ def q_lsh_near_vectors(spark, sf_dir):
 
 
 def q_lpa_shard_async(spark, sf_dir):
-    """Reference-semantics (async within shard) LPA."""
+    """Reference-semantics (async within shard) LPA, in the
+    deterministic oracle mode: portable shard fn (id % 32), ascending
+    sweep order, smallest-label ties — every micro-step of every round
+    is replayed by the recursive-CTE oracle (_lpa_shard_oracle). The
+    default API mode keeps the reference's shuffled order / random
+    ties (src/label_propagation.jl:98-116)."""
     from communitydetection_jl_spark.operators.lpa_async import lpa_async
 
-    return lpa_async(_part_edges(spark, sf_dir), n_shards=8, max_rounds=20).labels
+    return lpa_async(
+        _part_edges(spark, sf_dir), n_shards=32, max_rounds=20,
+        deterministic=True, shard_expr=lambda c: F.pmod(c, F.lit(32)),
+    ).labels
 
 
 def q_slpa(spark, sf_dir):
@@ -915,6 +923,159 @@ def _lpa_full_oracle() -> str:
     """
 
 
+def _kclique_oracle() -> str:
+    """3-clique percolation as a recursive-CTE connected-components run
+    (ref src/kclique_percolation.jl:1-24). Reformulated on the
+    *triangle-edge* graph — nodes are edges-in-triangles, each triangle
+    stars its 2nd/3rd edge to its 1st — whose components biject with
+    the triangle-overlap components (a chain of edge-sharing triangles
+    is a chain of triangle-sharing edges and vice versa) but with 3.5×
+    fewer CC nodes and ~4× fewer min-propagation rounds (measured 9
+    rounds / 28s vs 60+ / 197s on the sf0.01 part graph). Same
+    self-marker min-id discipline as _lpa_full_oracle; dense ranks by
+    (size DESC, min member, max member) match the engine exactly."""
+    return f"""
+        WITH RECURSIVE
+        e AS ({_PART_EDGES_SQL}),
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM e e1 JOIN e e2 ON e2.src = e1.dst
+            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        te AS (
+            SELECT DISTINCT CAST(x AS BIGINT) * 1000003 + y AS eid FROM (
+              SELECT a AS x, b AS y FROM tri
+              UNION ALL SELECT a, c FROM tri
+              UNION ALL SELECT b, c FROM tri)
+        ),
+        tmem AS (
+            SELECT CAST(a AS BIGINT)*1000003+b AS e1,
+                   CAST(a AS BIGINT)*1000003+c AS e2,
+                   CAST(b AS BIGINT)*1000003+c AS e3 FROM tri
+        ),
+        se AS (SELECT e2 AS src, e1 AS dst FROM tmem
+               UNION SELECT e3, e1 FROM tmem),
+        sym AS (SELECT src, dst FROM se UNION SELECT dst, src FROM se),
+        aug AS (SELECT src, dst, FALSE AS mark FROM sym
+                UNION ALL SELECT eid, eid, TRUE FROM te),
+        it AS (
+          SELECT 0 AS k, eid, eid AS comp, 1::BIGINT AS moved FROM te
+          UNION ALL
+          SELECT k + 1 AS k, eid, new_comp AS comp,
+                 SUM(CASE WHEN new_comp < old_comp THEN 1 ELSE 0 END)
+                   OVER () AS moved
+          FROM (
+            SELECT g.src AS eid, MAX(it.k) AS k,
+                   MIN(it.comp) AS new_comp,
+                   MIN(CASE WHEN g.mark THEN it.comp END) AS old_comp
+            FROM it JOIN aug g ON it.eid = g.dst
+            WHERE it.moved > 0 AND it.k < 80
+            GROUP BY g.src
+          ) s
+        ),
+        fin AS (SELECT eid, comp FROM it WHERE k = (SELECT MAX(k) FROM it)),
+        vcomm AS (
+            SELECT DISTINCT id, comp FROM (
+              SELECT eid // 1000003 AS id, comp FROM fin
+              UNION ALL SELECT eid % 1000003, comp FROM fin)
+        ),
+        sizes AS (SELECT comp, COUNT(*) AS n, MIN(id) AS mn, MAX(id) AS mx
+                  FROM vcomm GROUP BY 1),
+        mapping AS (SELECT comp, ROW_NUMBER() OVER
+                      (ORDER BY n DESC, mn ASC, mx ASC) AS comm FROM sizes)
+        SELECT vcomm.id, CAST(mapping.comm AS BIGINT) AS comm
+        FROM vcomm JOIN mapping USING (comp)
+    """
+
+
+def _lpa_shard_oracle() -> str:
+    """Deterministic shard-async LPA (q_lpa_shard_async) replayed
+    micro-step by micro-step: shards never interact inside a round
+    (cross-shard labels are frozen at round start), so 'the t-th
+    vertex of each shard' is one well-defined global micro-step. State
+    rows carry (live lbl, round-start snap, per-round move count); the
+    self-marker row delivers each vertex's own state through the single
+    recursive reference; only the ≤32 step-active listeners gather
+    votes (a.mark OR a.u_rk = it.t), everything else passes through."""
+    return f"""
+        WITH RECURSIVE
+        e AS ({_PART_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        v AS (SELECT DISTINCT src AS id FROM sym),
+        rk AS (SELECT id, ROW_NUMBER() OVER
+                   (PARTITION BY id % 32 ORDER BY id) - 1 AS rk FROM v),
+        mx AS (SELECT MAX(rk) AS maxrk FROM rk),
+        aug AS (
+          SELECT s.src AS u, s.dst AS v2, FALSE AS mark,
+                 (s.src % 32 = s.dst % 32) AS same, r1.rk AS u_rk
+          FROM sym s JOIN rk r1 ON r1.id = s.src
+          UNION ALL SELECT id, id, TRUE, TRUE, rk FROM rk
+        ),
+        it AS (
+          SELECT 0 AS k, 1 AS r, 0 AS t, id,
+                 CAST(id AS BIGINT) AS lbl, CAST(id AS BIGINT) AS snap,
+                 0::BIGINT AS mvd, FALSE AS ended
+          FROM v
+          UNION ALL
+          SELECT k0 + 1 AS k,
+                 CASE WHEN close THEN r0 + 1 ELSE r0 END AS r,
+                 CASE WHEN close THEN 0 ELSE t0 + 1 END AS t,
+                 id,
+                 lbl_new AS lbl,
+                 CASE WHEN close THEN lbl_new ELSE snap0 END AS snap,
+                 CASE WHEN close THEN 0 ELSE mvd_round END AS mvd,
+                 (close AND mvd_round = 0) AS ended
+          FROM (
+            SELECT upd.*, mx.maxrk,
+                   (upd.t0 >= mx.maxrk) AS close,
+                   upd.mvd0 + SUM(CASE WHEN upd.lbl_new <> upd.lbl0
+                                       THEN 1 ELSE 0 END) OVER () AS mvd_round
+            FROM (
+              SELECT pick.id, pick.r0, pick.t0, pick.k0, pick.mvd0,
+                     pick.snap0, pick.lbl0,
+                     CASE WHEN rk.rk = pick.t0 AND pick.vlbl IS NOT NULL
+                          THEN pick.vlbl ELSE pick.lbl0 END AS lbl_new
+              FROM (
+                SELECT id, vlbl, c,
+                       MAX(m_lbl) OVER (PARTITION BY id) AS lbl0,
+                       MAX(m_snap) OVER (PARTITION BY id) AS snap0,
+                       MAX(m_r) OVER (PARTITION BY id) AS r0,
+                       MAX(m_t) OVER (PARTITION BY id) AS t0,
+                       MAX(m_k) OVER (PARTITION BY id) AS k0,
+                       MAX(m_mvd) OVER (PARTITION BY id) AS mvd0,
+                       ROW_NUMBER() OVER (PARTITION BY id
+                           ORDER BY (vlbl IS NULL) ASC, c DESC, vlbl ASC) AS rn
+                FROM (
+                  SELECT a.u AS id,
+                         CASE WHEN a.mark THEN NULL
+                              WHEN a.same THEN it.lbl ELSE it.snap END AS vlbl,
+                         COUNT(CASE WHEN NOT a.mark THEN 1 END) AS c,
+                         MAX(CASE WHEN a.mark THEN it.lbl END) AS m_lbl,
+                         MAX(CASE WHEN a.mark THEN it.snap END) AS m_snap,
+                         MAX(CASE WHEN a.mark THEN it.r END) AS m_r,
+                         MAX(CASE WHEN a.mark THEN it.t END) AS m_t,
+                         MAX(CASE WHEN a.mark THEN it.k END) AS m_k,
+                         MAX(CASE WHEN a.mark THEN it.mvd END) AS m_mvd
+                  FROM it JOIN aug a ON it.id = a.v2
+                  WHERE NOT it.ended AND it.r <= 20
+                    AND (a.mark OR a.u_rk = it.t)
+                  GROUP BY 1, 2
+                ) cnt
+              ) pick
+              JOIN rk ON rk.id = pick.id
+              WHERE pick.rn = 1
+            ) upd CROSS JOIN mx
+          ) step
+        ),
+        fin AS (SELECT id, lbl FROM it WHERE k = (SELECT MAX(k) FROM it)),
+        firsts AS (SELECT lbl, MIN(id) AS fid FROM fin GROUP BY 1),
+        mapping AS (SELECT lbl, ROW_NUMBER() OVER (ORDER BY fid) AS comm
+                    FROM firsts)
+        SELECT fin.id, CAST(mapping.comm AS BIGINT) AS comm
+        FROM fin JOIN mapping USING (lbl)
+    """
+
+
 def _lsh_near_vectors_oracle() -> str:
     """Hyperplane-LSH near pairs with the engine's seeded planes inlined
     as literals; both engines do left-to-right double accumulation over
@@ -1190,6 +1351,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_full": _pagerank_full_oracle(),
         "lsh_near_vectors": _lsh_near_vectors_oracle(),
         "lpa_full": _lpa_full_oracle(),
+        "kclique": _kclique_oracle(),
+        "lpa_shard_async": _lpa_shard_oracle(),
         "kclique3_counts": f"""
             WITH e AS ({_PART_EDGES_SQL}),
             sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),

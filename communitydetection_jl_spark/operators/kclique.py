@@ -112,16 +112,22 @@ def kclique_percolation(edges: DataFrame, k: int = 3) -> DataFrame:
         .distinct()
     )
     # dense 1..q by decreasing size (src/AbstractPartition.jl:5-21
-    # convention), ties by smallest member id
-    sizes = out.groupBy("comm").agg(
-        F.countDistinct("id").alias("n"), F.min("id").alias("mn")
-    )
-    from pyspark.sql import Window as W
+    # convention), ties by smallest then largest member id — all
+    # data-derived keys, so the driver's SQL oracle ranks identically
+    # (the internal comp hash never orders the output); ranking is
+    # global-window-free via rank_small_or_large
+    from ..functions.ids import rank_small_or_large
 
-    mapping = sizes.select(
-        "comm",
-        F.row_number().over(W.orderBy(F.desc("n"), F.asc("mn"), F.asc("comm")))
-        .cast("long").alias("dense"),
+    sizes = out.groupBy("comm").agg(
+        F.countDistinct("id").alias("n"),
+        F.min("id").alias("mn"),
+        F.max("id").alias("mx"),
+    )
+    order = F.struct(
+        (-F.col("n")).alias("nn"), F.col("mn").alias("a"), F.col("mx").alias("b")
+    )
+    mapping = rank_small_or_large(sizes, order).select(
+        "comm", F.col("rank").alias("dense")
     )
     res = out.join(mapping, "comm").select("id", F.col("dense").alias("comm"))
     cl.unpersist()

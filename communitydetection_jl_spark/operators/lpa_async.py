@@ -40,12 +40,19 @@ class AsyncLPAResult:
     changed_history: list = field(default_factory=list)
 
 
-def _sweep_shard(pdf: pd.DataFrame, seed: int, rnd: int) -> pd.DataFrame:
+def _sweep_shard(
+    pdf: pd.DataFrame, seed: int, rnd: int, deterministic: bool = False
+) -> pd.DataFrame:
     """Reference-semantics async sweep over one shard.
 
     pdf columns: shard, src, dst, vote, src_lbl, dst_lbl. Vertices owned
     by the shard are the src side; dst labels are frozen snapshots for
-    boundary neighbors but live for internal ones."""
+    boundary neighbors but live for internal ones.
+
+    ``deterministic=True`` replaces the reference's shuffled order /
+    random tie-break with ascending-id order and smallest-label ties —
+    semantically still an async sweep, but replayable micro-step by
+    micro-step in the driver's recursive-CTE oracle."""
     shard = int(pdf["shard"].iloc[0])
     rng = np.random.default_rng((seed * 1_000_003 + shard) * 31 + rnd)
     labels: dict = {}
@@ -58,7 +65,8 @@ def _sweep_shard(pdf: pd.DataFrame, seed: int, rnd: int) -> pd.DataFrame:
         adj[s].append((d, v))
     internal = sorted(set(pdf["src"]))
     order = list(internal)
-    rng.shuffle(order)
+    if not deterministic:
+        rng.shuffle(order)
     changed = []
     for u in order:
         cnt = Counter()
@@ -70,7 +78,10 @@ def _sweep_shard(pdf: pd.DataFrame, seed: int, rnd: int) -> pd.DataFrame:
         # reference: random scan over labels, strictly-greater wins →
         # uniform choice among maxima (src/label_propagation.jl:31-52)
         maxima = sorted(l for l, c in cnt.items() if c == max_cnt)
-        new = maxima[rng.integers(len(maxima))] if len(maxima) > 1 else maxima[0]
+        if deterministic or len(maxima) == 1:
+            new = maxima[0]
+        else:
+            new = maxima[rng.integers(len(maxima))]
         if new != labels[u]:
             labels[u] = new
             changed.append(u)
@@ -91,8 +102,18 @@ def lpa_async(
     renumber: bool = True,
     weighted: bool = False,
     ledger=None,
+    deterministic: bool = False,
+    shard_expr=None,
 ) -> AsyncLPAResult:
-    """Asynchronous-within-shard LPA to fixpoint."""
+    """Asynchronous-within-shard LPA to fixpoint.
+
+    ``deterministic=True`` + ``shard_expr`` (e.g. ``pmod(id, n)`` —
+    portable, unlike the default xxhash64) makes every micro-step of
+    every round a pure function of the data, so the driver's SQL
+    oracle replays the run exactly (shards advance in lockstep: within
+    a round they never interact — boundary labels are frozen at round
+    start — so 'the t-th vertex of each shard' is a well-defined
+    global micro-step)."""
     e = with_weight(edges)
     sym = symmetrize(e).select(
         "src", "dst", (F.col("weight") if weighted else F.lit(1.0)).alias("vote")
@@ -108,13 +129,17 @@ def lpa_async(
     while rnd < max_rounds:
         rnd += 1
         cur_round = rnd
+        shard_col = (
+            shard_expr(F.col("src")) if shard_expr is not None
+            else F.pmod(F.xxhash64("src"), F.lit(n_shards))
+        )
         shard_edges = (
-            sym.withColumn("shard", F.pmod(F.xxhash64("src"), F.lit(n_shards)))
+            sym.withColumn("shard", shard_col)
             .join(labels.select(F.col("id").alias("src"), F.col("lbl").alias("src_lbl")), "src")
             .join(labels.select(F.col("id").alias("dst"), F.col("lbl").alias("dst_lbl")), "dst")
         )
-        def sweep(pdf: pd.DataFrame, _s=seed, _r=cur_round):
-            return _sweep_shard(pdf, _s, _r)
+        def sweep(pdf: pd.DataFrame, _s=seed, _r=cur_round, _d=deterministic):
+            return _sweep_shard(pdf, _s, _r, _d)
 
         # applyInPandas requires a 1-arg (data) signature; bind seed/round
         # via a wrapper
