@@ -271,7 +271,16 @@ def overlap_nmi_df(ma: DataFrame, mb: DataFrame, n: int | None = None) -> float:
     h(X_i|Y_j) table is a (clusters_a × clusters_b) cross join of the
     two (small) cluster-size tables — cluster counts, not vertices —
     with the LFK informativeness constraint and per-cluster min as
-    column expressions + one groupBy."""
+    column expressions + one groupBy.
+
+    BOUND (by construction, not a defect): the cross join is quadratic
+    in cluster count — |C_a|·|C_b| rows. That is the LFK definition's
+    own candidate space (every X_i needs its min over all Y_j) and is
+    fine for covers, where clusters ≪ vertices (1e4 × 1e4 clusters →
+    1e8 16-byte rows across the cluster, shuffle-partitioned). Do NOT
+    feed it near-singleton partitions (clusters ~ n): there the
+    driver-list form is equally quadratic and the metric itself is the
+    wrong tool."""
     la, lb = ma.columns[1], mb.columns[1]
     a = ma.select("id", F.col(la).alias("ca"))
     b = mb.select("id", F.col(lb).alias("cb"))

@@ -576,6 +576,7 @@ def louvain(
     ledger=None,
     init_sizes: DataFrame | None = None,
     record_quality: bool = False,
+    base_scalars: dict | None = None,
 ) -> LouvainResult:
     """Quality-optimizing community detection over an undirected edge
     table. ``objective`` dispatches the full reference set
@@ -588,26 +589,37 @@ def louvain(
     rejects weighted graphs for them, src/Optimiser.jl:266-268).
     Distributed multi-greedy sweeps + collapse per level; exact
     sequential greedy below ``local_threshold`` edges (small enough that
-    the distributed path still handles the sf0.1 part graph)."""
+    the distributed path still handles the sf0.1 part graph).
+
+    ``base_scalars`` (find_partition's collapsed re-optimization rounds):
+    the BASE graph's {density, n_total, m_total}. When passed, ``edges``
+    is a collapse of that base graph — its weights already carry base
+    edge counts and its ``init_sizes`` carry base node counts — so the
+    density-null objectives must keep the base scalars and must NOT have
+    their weights reset to 1; recomputing them from the collapse would
+    optimize a different null model than the accept-gate rescoring
+    (ref optimize-on-collapse keeps base totals, src/Optimiser.jl:135-144)."""
     spark = edges.sparkSession
     base_edges = materialize_iter(canonicalize_undirected(edges))
     setbased = objective in ("significance", "surprise")
-    base_scalars: dict = {}
     if objective in ("rber", "significance", "surprise"):
-        # base-graph scalars keep the null model's meaning through
-        # collapses (node sizes carry the pair counts)
-        e0 = base_edges.filter(F.col("src") != F.col("dst"))
-        m0 = float(e0.count())
-        n0 = float(vertices_of(base_edges).count())
-        poss0 = n0 * (n0 - 1) / 2.0
-        p0 = m0 / poss0 if poss0 else 0.0
-        base_scalars = {"density": p0, "n_total": n0, "m_total": m0}
-        # unweighted-count semantics: weights become edge counts
-        base_edges = materialize_iter(
-            base_edges.select("src", "dst", F.lit(1.0).alias("weight")))
+        if base_scalars is None:
+            # base-graph scalars keep the null model's meaning through
+            # collapses (node sizes carry the pair counts)
+            e0 = base_edges.filter(F.col("src") != F.col("dst"))
+            m0 = float(e0.count())
+            n0 = float(vertices_of(base_edges).count())
+            poss0 = n0 * (n0 - 1) / 2.0
+            p0 = m0 / poss0 if poss0 else 0.0
+            base_scalars = {"density": p0, "n_total": n0, "m_total": m0}
+            # unweighted-count semantics: weights become edge counts
+            base_edges = materialize_iter(
+                base_edges.select("src", "dst", F.lit(1.0).alias("weight")))
         if objective == "rber":
             # RBER ≡ CPM with penalty γ·p (same node-size null mass)
-            objective, gamma = "cpm", gamma * p0
+            objective, gamma = "cpm", gamma * base_scalars["density"]
+    else:
+        base_scalars = base_scalars or {}
     cur_edges = base_edges
     memb: DataFrame | None = None  # composed fine membership
     # per-level node sizes (CPM null model needs them through collapses;
@@ -713,12 +725,26 @@ def find_partition(
     memb, q = res.membership, res.quality
     rounds = [q]
     base = canonicalize_undirected(edges)
+    scalars = None
+    if objective in ("rber", "significance", "surprise"):
+        # base-graph scalars for the collapsed rounds: without them the
+        # sub-call would recompute density/n/m from the COARSE graph and
+        # reset the count-carrying collapsed weights — optimizing a
+        # different null model than the accept-gate rescoring below
+        e0 = base.filter(F.col("src") != F.col("dst"))
+        m0 = float(e0.count())
+        n0 = float(vertices_of(base).count())
+        poss0 = n0 * (n0 - 1) / 2.0
+        scalars = {"density": (m0 / poss0 if poss0 else 0.0),
+                   "n_total": n0, "m_total": m0}
+        # count semantics for the collapse input (matches the base call)
+        base = base.select("src", "dst", F.lit(1.0).alias("weight"))
     for _ in range(1, max_rounds):
         coarse = collapse_graph(base, memb, directed=False)
         csizes = memb.groupBy(F.col("comm").alias("id")).agg(
             F.count(F.lit(1)).cast("double").alias("nsize"))
         sub = louvain(coarse, objective=objective, gamma=gamma,
-                      init_sizes=csizes, **louvain_kw)
+                      init_sizes=csizes, base_scalars=scalars, **louvain_kw)
         merged = sub.membership.select("comm").distinct().count()
         before = memb.select("comm").distinct().count()
         if merged >= before:

@@ -273,6 +273,25 @@ def test_find_partition_outer_loop(spark):
     assert all(b >= a - 1e-12 for a, b in zip(rq, rq[1:]))
 
 
+def test_find_partition_setbased_base_scalars(spark):
+    """find_partition rounds >=2 on a density-null objective must keep
+    optimizing the BASE graph's null model: collapsed re-optimization
+    carries base density/n/m and count-carrying collapsed weights
+    (threaded via louvain(base_scalars=...)), so round quality — always
+    rescored on the original graph — never decreases and never loses to
+    a single pass."""
+    from communitydetection_jl_spark.operators.louvain import find_partition
+
+    edges, truth = fx.ring_of_cliques(spark)
+    for objective in ("surprise", "significance"):
+        single = louvain(edges, objective=objective, max_sweeps=40)
+        rep = find_partition(edges, objective=objective, max_rounds=3,
+                             max_sweeps=40)
+        assert rep.quality >= single.quality - 1e-9, objective
+        rq = rep.history[-1]["round_quality"]
+        assert all(b >= a - 1e-9 for a, b in zip(rq, rq[1:])), objective
+
+
 def test_louvain_record_quality(spark):
     """record_quality=True stamps each distributed level with the
     objective value of the composed membership (hlpa_record_Q ledger
