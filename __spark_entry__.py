@@ -498,6 +498,20 @@ def q_lpa_shard_async(spark, sf_dir):
     ).labels
 
 
+def q_lpa_record(spark, sf_dir):
+    """Per-move LPA modularity ledger — label_propagation_record!
+    parity (ref src/multilevel_label_propagation.jl:166-212): one row
+    per vote with the post-vote global modularity. Deterministic mode
+    (ascending frontier order, smallest-label ties); the incremental Q
+    bookkeeping is pytest-verified against the driver-oracled
+    modularity() at sampled replay steps
+    (tests/test_async_and_salting.py::test_lpa_record_per_move_q)."""
+    from communitydetection_jl_spark.operators.lpa_async import lpa_record
+
+    _, qrec = lpa_record(_part_edges(spark, sf_dir), deterministic=True)
+    return qrec
+
+
 def q_slpa(spark, sf_dir):
     from communitydetection_jl_spark.operators.slpa import slpa
 
@@ -619,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_near_vectors": q_lsh_near_vectors,
         "lpa_shard_async": q_lpa_shard_async,
+        "lpa_record": q_lpa_record,
         "slpa": q_slpa,
         "hlpa": q_hlpa,
         "map_equation": q_map_equation,

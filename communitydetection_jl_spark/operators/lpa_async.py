@@ -94,6 +94,149 @@ def _sweep_shard(
     )
 
 
+def _record_sweep(pdf: pd.DataFrame, seed: int, deterministic: bool,
+                  max_iter: int) -> pd.DataFrame:
+    """Reference label_propagation_record! replayed exactly
+    (src/multilevel_label_propagation.jl:166-212): frontier of active
+    nodes, shuffled scan order per pass, vote!, global modularity
+    appended after EVERY vote (moves and non-moves alike), a non-move
+    deactivates the node, a move reactivates its neighbors.
+
+    Runs inside ONE Arrow task over the whole (symmetrized) graph —
+    per-move recording is inherently sequential, the same in-memory
+    bound as the reference process itself. Modularity is maintained
+    incrementally in O(deg(u)) per vote:
+
+        Q = Σ_c (e2[c]/m2 − (d[c]/m2)²)
+
+    with m2 = Σ sym weights, e2[c] = intra-community sym weight and
+    d[c] = Σ member degrees. Output rows: one per vote
+    (step, id, lbl, q) plus step=-1 rows carrying every vertex's final
+    label (isolated vertices never vote but still need a label row)."""
+    rng = np.random.default_rng(seed)
+    labels: dict = {}
+    adj = defaultdict(list)
+    deg = defaultdict(float)
+    m2 = 0.0
+    for s, d, v in zip(pdf["src"], pdf["dst"], pdf["vote"]):
+        labels.setdefault(s, s)
+        labels.setdefault(d, d)
+        adj[s].append((d, v))
+        deg[s] += v
+        m2 += v
+    nodes = sorted(labels)
+    if m2 <= 0:
+        return pd.DataFrame(
+            {"step": [-1] * len(nodes), "id": nodes,
+             "lbl": [int(labels[u]) for u in nodes], "q": [0.0] * len(nodes)}
+        )
+    # singleton init: e2[c] = self-loop weight, d[c] = deg
+    e2 = defaultdict(float)
+    dc = defaultdict(float)
+    for u in nodes:
+        dc[u] = deg[u]
+        for v, w in adj[u]:
+            if v == u:
+                e2[u] += w
+    q = sum(e2[c] for c in dc) / m2 - sum(x * x for x in dc.values()) / (m2 * m2)
+
+    def q_delta_terms(c, de2, ddc):
+        nonlocal q
+        q += de2 / m2
+        q -= ((dc[c] + ddc) ** 2 - dc[c] ** 2) / (m2 * m2)
+        e2[c] += de2
+        dc[c] += ddc
+
+    active = set(nodes)
+    steps: list[tuple[int, int, int, float]] = []
+    it = 0
+    step = 0
+    while active and it < max_iter:
+        it += 1
+        order = sorted(active)
+        if not deterministic:
+            rng.shuffle(order)
+        for u in order:
+            if u not in active:
+                continue
+            cnt = Counter()
+            selfw = 0.0
+            w_to = defaultdict(float)
+            for v, w in adj[u]:
+                if v == u:
+                    selfw += w
+                    cnt[labels[u]] += w  # self-loop votes for own label
+                    continue
+                cnt[labels[v]] += w
+                w_to[labels[v]] += w
+            if not cnt:
+                active.discard(u)
+                continue
+            max_cnt = max(cnt.values())
+            maxima = sorted(l for l, c in cnt.items() if c == max_cnt)
+            if deterministic or len(maxima) == 1:
+                new = maxima[0]
+            else:
+                new = maxima[rng.integers(len(maxima))]
+            old = labels[u]
+            if new != old:
+                # u leaves old: intra sym weight drops 2·w_to[old]+self
+                q_delta_terms(old, -2.0 * w_to.get(old, 0.0) - selfw, -deg[u])
+                q_delta_terms(new, 2.0 * w_to.get(new, 0.0) + selfw, deg[u])
+                labels[u] = new
+                for v, _ in adj[u]:
+                    if v != u:
+                        active.add(v)
+            else:
+                active.discard(u)
+            step += 1
+            steps.append((step, int(u), int(labels[u]), q))
+    out = pd.DataFrame(steps, columns=["step", "id", "lbl", "q"]) if steps else \
+        pd.DataFrame({"step": [], "id": [], "lbl": [], "q": []})
+    fin = pd.DataFrame(
+        {"step": [-1] * len(nodes), "id": nodes,
+         "lbl": [int(labels[u]) for u in nodes], "q": [q] * len(nodes)}
+    )
+    return pd.concat([out, fin], ignore_index=True).astype(
+        {"step": "int64", "id": "int64", "lbl": "int64", "q": "float64"}
+    )
+
+
+def lpa_record(
+    edges: DataFrame,
+    seed: int = 42,
+    deterministic: bool = False,
+    max_iter: int = 1000,
+    weighted: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-move LPA with a modularity value recorded after every vote —
+    the reference's label_propagation_record! surface
+    (src/multilevel_label_propagation.jl:166-212), which the BSP engine
+    (operators/lpa.py) can only approximate per-superstep.
+
+    Returns ``(labels, q_record)``: labels (id, comm) and q_record
+    (step, id, lbl, q) ordered by vote step. The sweep itself is one
+    sequential Arrow task (per-move recording serializes by
+    definition); the surrounding plumbing — symmetrize, vote weights,
+    final-label extraction — stays in DataFrame land."""
+    e = with_weight(edges)
+    sym = symmetrize(e).select(
+        "src", "dst", (F.col("weight") if weighted else F.lit(1.0)).alias("vote")
+    )
+
+    def sweep1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _record_sweep(pdf, seed, deterministic, max_iter)
+
+    rec = sym.withColumn("shard", F.lit(0)).groupBy("shard").applyInPandas(
+        sweep1, "step long, id long, lbl long, q double"
+    )
+    rec = materialize_iter(rec)
+    labels = rec.filter(F.col("step") == -1).select(
+        "id", F.col("lbl").alias("comm"))
+    qrec = rec.filter(F.col("step") >= 0)
+    return labels, qrec
+
+
 def lpa_async(
     edges: DataFrame,
     n_shards: int = 32,

@@ -91,3 +91,39 @@ def test_salted_join_agg_matches_plain_gather(spark):
     assert set(a) == set(b)
     for k in a:
         assert b[k] == pytest.approx(a[k], rel=1e-12)
+
+
+def test_lpa_record_per_move_q(spark):
+    """lpa_record (label_propagation_record! parity,
+    src/multilevel_label_propagation.jl:166-212): one Q per vote, and
+    the incrementally-maintained Q must equal the from-scratch
+    modularity of the replayed label state at every sampled step."""
+    from communitydetection_jl_spark.operators.lpa_async import lpa_record
+    from communitydetection_jl_spark.operators.modularity import modularity
+
+    edges, _ = fx.karate(spark)
+    labels, qrec = lpa_record(edges, deterministic=True)
+    steps = qrec.orderBy("step").collect()
+    assert steps, "expected at least one recorded vote"
+
+    # final labels' modularity == last recorded q (oracle-grade check:
+    # modularity() is independently driver-oracled)
+    last_q = steps[-1]["q"]
+    assert modularity(edges, labels) == pytest.approx(last_q, abs=1e-9)
+
+    # replay the vote ledger; from-scratch modularity at sampled steps
+    cur = {r.id: r.id for r in labels.select("id").collect()}
+    sample = set(range(0, len(steps), max(1, len(steps) // 7)))
+    sample.add(len(steps) - 1)
+    for i, row in enumerate(steps):
+        cur[row.id] = row.lbl
+        if i in sample:
+            memb = spark.createDataFrame(
+                [(int(k), int(v)) for k, v in cur.items()], "id long, comm long"
+            )
+            assert modularity(edges, memb) == pytest.approx(row.q, abs=1e-9), i
+
+    # non-moves are recorded too: strictly more votes than moves on
+    # karate (every vertex must vote at least once before quiescing)
+    n = labels.count()
+    assert len(steps) >= n
