@@ -513,9 +513,17 @@ def q_lpa_record(spark, sf_dir):
 
 
 def q_slpa(spark, sf_dir):
+    """SLPA overlapping cover (src/slpa.jl:23-141), in the portable-hash
+    oracle mode: every speak draw and listen tie-break is a 60-bit
+    md5-prefix hash, so the driver's recursive-CTE oracle (_slpa_oracle)
+    replays all 10 speak/listen/append rounds plus post-processing
+    bit-for-bit. Returns the post-processed memory (id, label, cnt) —
+    the full cover, richer than the hard membership. Default API mode
+    keeps the fast xxhash64 draws."""
     from communitydetection_jl_spark.operators.slpa import slpa
 
-    return slpa(_part_edges(spark, sf_dir), iterations=10).membership
+    res = slpa(_part_edges(spark, sf_dir), iterations=10, hash_mode="md5")
+    return res.memory.select("id", "label", "cnt")
 
 
 def q_hlpa(spark, sf_dir):
@@ -1091,6 +1099,111 @@ def _lpa_shard_oracle() -> str:
     """
 
 
+def _slpa_oracle() -> str:
+    """md5-mode SLPA (q_slpa) replayed bit-for-bit: 10 rounds of
+    speak (inverse-CDF sample from each speaker's memory at
+    u = md5_60(listener|speaker|round|42)/p), listen (max votes, tie by
+    md5_60(listener|label|round|42), then label), append (+1, group-sum),
+    then the r=0.1 post-processing (ref src/slpa.jl:23-141).
+
+    Correct-by-construction float story: β=1 keeps every memory weight
+    an integer-valued double, so cumsum/total are EXACT in both engines
+    regardless of summation order; the only rounding (u and u·total)
+    is one identical IEEE op on each side. Single-scan recursive arm:
+    the aug self-marker rows carry each listener's own memory through
+    the same join that delivers speaker memories (as in
+    _lpa_shard_oracle); the adopted label is emitted as the unique
+    rn=1 picked row, +1-weighted, and group-summed with the mark rows."""
+    u_speak = (
+        _MD5_60.format(
+            x="aug.listener::VARCHAR||'|'||aug.spk::VARCHAR||'|'||"
+              "(st.it+1)::VARCHAR||'|42'")
+        + " % 1000000007"
+    )
+    u_tie = (
+        _MD5_60.format(
+            x="t2.listener::VARCHAR||'|'||t2.label::VARCHAR||'|'||"
+              "(t2.itc+1)::VARCHAR||'|42'")
+        + " % 1000000007"
+    )
+    return f"""
+        WITH RECURSIVE
+        e AS ({_PART_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        v AS (SELECT DISTINCT src AS id FROM sym),
+        aug AS (
+          SELECT src AS listener, dst AS spk, FALSE AS mark FROM sym
+          UNION ALL SELECT id, id, TRUE FROM v
+        ),
+        st AS (
+          SELECT 0 AS it, id, CAST(id AS BIGINT) AS label,
+                 1::BIGINT AS cnt
+          FROM v
+          UNION ALL
+          SELECT itc + 1 AS it, listener AS id, label,
+                 CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM (
+            SELECT t3.itc, t3.listener, t3.label,
+                   CASE WHEN t3.mark THEN t3.cnt ELSE 1 END AS cnt
+            FROM (
+              SELECT t2.*,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY t2.listener
+                       ORDER BY t2.picked DESC, t2.votes DESC,
+                                {u_tie} DESC, t2.label DESC
+                     ) AS rn
+              FROM (
+                SELECT t1.*,
+                       SUM(CASE WHEN t1.picked THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY t1.listener, t1.label) AS votes
+                FROM (
+                  SELECT t0.*,
+                         (NOT t0.mark
+                          AND t0.cum > t0.thresh
+                          AND t0.cum - t0.w <= t0.thresh) AS picked
+                  FROM (
+                    SELECT st.it AS itc, aug.listener, aug.spk, aug.mark,
+                           st.label, st.cnt,
+                           CAST(st.cnt AS DOUBLE) AS w,
+                           SUM(CAST(st.cnt AS DOUBLE)) OVER
+                             (PARTITION BY aug.listener, aug.spk, aug.mark
+                              ORDER BY st.label) AS cum,
+                           ({u_speak}) / 1000000007.0
+                             * SUM(CAST(st.cnt AS DOUBLE)) OVER
+                                 (PARTITION BY aug.listener, aug.spk, aug.mark)
+                             AS thresh
+                    FROM st JOIN aug ON st.id = aug.spk
+                    WHERE st.it < 10
+                  ) t0
+                ) t1
+              ) t2
+            ) t3
+            WHERE t3.mark OR (t3.picked AND t3.rn = 1)
+          ) emit
+          GROUP BY 1, 2, 3
+        ),
+        fin AS (SELECT id, label, cnt FROM st WHERE it = 10),
+        tot AS (SELECT id, SUM(cnt) AS total FROM fin GROUP BY 1),
+        kept AS (
+          SELECT f.id, f.label, f.cnt
+          FROM fin f JOIN tot USING (id)
+          WHERE f.cnt >= 0.1 * tot.total
+        ),
+        amax AS (
+          SELECT id, label, cnt FROM (
+            SELECT f.*, ROW_NUMBER() OVER
+                (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+            FROM fin f
+          ) WHERE rn = 1
+        )
+        SELECT id, label, CAST(cnt AS BIGINT) AS cnt FROM kept
+        UNION ALL
+        SELECT a.id, a.label, CAST(a.cnt AS BIGINT) AS cnt
+        FROM amax a LEFT JOIN (SELECT DISTINCT id FROM kept) k USING (id)
+        WHERE k.id IS NULL
+    """
+
+
 def _lsh_near_vectors_oracle() -> str:
     """Hyperplane-LSH near pairs with the engine's seeded planes inlined
     as literals; both engines do left-to-right double accumulation over
@@ -1363,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "lang_prf": _lang_prf_oracle(),
         "map_equation": _map_equation_oracle(),
+        "slpa": _slpa_oracle(),
         "pagerank_full": _pagerank_full_oracle(),
         "lsh_near_vectors": _lsh_near_vectors_oracle(),
         "lpa_full": _lpa_full_oracle(),

@@ -45,8 +45,34 @@ class SLPAResult:
     history: list = field(default_factory=list)
 
 
+def _uniform(cols, hash_mode: str):
+    """Deterministic pseudo-uniform in [0,1) from integer columns.
+
+    ``xxhash64`` (default): fastest JVM path. ``md5``: 60-bit md5-prefix
+    hash of the '|'-joined decimal strings — bit-for-bit reproducible in
+    ANSI SQL (``('0x'||substr(md5(...),1,15))::BIGINT``), the same
+    portable-hash discipline as dedup.base_hash64, so md5-mode SLPA runs
+    are replayable by the driver's DuckDB oracle."""
+    return _hash_long(cols, hash_mode) / F.lit(1_000_000_007.0)
+
+
+def _hash_long(cols, hash_mode: str):
+    """Deterministic long in [0, 1e9+7) from integer columns (see
+    :func:`_uniform` for the two modes)."""
+    if hash_mode == "xxhash64":
+        h = F.xxhash64(*cols)
+    elif hash_mode == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])), 1, 15),
+            16, 10,
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return F.pmod(h, F.lit(1_000_000_007))
+
+
 def _speak(sym: DataFrame, memory: DataFrame, iteration: int, seed: int,
-           beta: float = 1.0) -> DataFrame:
+           beta: float = 1.0, hash_mode: str = "xxhash64") -> DataFrame:
     """One spoken label per (listener, speaker) edge: inverse-CDF sample
     ∝ count^β from the speaker's memory (src/slpa.jl:23-46 speaks with
     the β exponent; β=1 is plain proportional), deterministic in
@@ -71,14 +97,9 @@ def _speak(sym: DataFrame, memory: DataFrame, iteration: int, seed: int,
         "mem",
         "total",
     )
-    u = (
-        F.pmod(
-            F.xxhash64(
-                F.col("listener"), F.col("speaker"), F.lit(iteration), F.lit(seed)
-            ),
-            F.lit(1_000_000_007),
-        )
-        / F.lit(1_000_000_007.0)
+    u = _uniform(
+        [F.col("listener"), F.col("speaker"), F.lit(iteration), F.lit(seed)],
+        hash_mode,
     )
     thresh = (u * F.col("total")).alias("thresh")
     # scan the sorted memory: first label whose cumsum exceeds thresh
@@ -101,13 +122,22 @@ def _speak(sym: DataFrame, memory: DataFrame, iteration: int, seed: int,
     )
 
 
-def _listen(spoken: DataFrame, iteration: int, seed: int) -> DataFrame:
+def _listen(spoken: DataFrame, iteration: int, seed: int,
+            hash_mode: str = "xxhash64") -> DataFrame:
     """maxvote: most frequent spoken label per listener, hash tie-break
-    (reference picks uniformly among ties, src/slpa.jl:5-15)."""
+    (reference picks uniformly among ties, src/slpa.jl:5-15). The label
+    itself is the final tiebreak key so the argmax is a total order in
+    both hash modes (hash collisions can't leave the pick plan-order
+    dependent)."""
     counts = spoken.groupBy("listener", "label").agg(F.count("*").alias("c"))
-    tie = F.xxhash64(F.col("listener"), F.col("label"), F.lit(iteration), F.lit(seed))
+    tie = _hash_long(
+        [F.col("listener"), F.col("label"), F.lit(iteration), F.lit(seed)],
+        hash_mode,
+    )
     return counts.groupBy(F.col("listener").alias("id")).agg(
-        F.max_by("label", F.struct(F.col("c"), tie.alias("t"))).alias("label")
+        F.max_by(
+            "label", F.struct(F.col("c"), tie.alias("t"), F.col("label"))
+        ).alias("label")
     )
 
 
@@ -118,11 +148,15 @@ def slpa(
     seed: int = 42,
     beta: float = 1.0,
     ledger=None,
+    hash_mode: str = "xxhash64",
 ) -> SLPAResult:
     """Run SLPA for a fixed number of rounds (reference default 20,
     src/slpa.jl:81-120), post-process with threshold ``r``. ``beta``
     is the speaking exponent (labels spoken ∝ count^β,
-    src/slpa.jl:23-46; β=1 proportional)."""
+    src/slpa.jl:23-46; β=1 proportional). ``hash_mode="md5"`` swaps
+    every pseudo-random draw for the portable 60-bit md5-prefix hash so
+    the ENTIRE run — T speak/listen/append rounds plus post-processing
+    — is bit-reproducible in ANSI SQL (the driver's slpa oracle)."""
     spark = edges.sparkSession
     sym = (
         symmetrize(with_weight(edges))
@@ -147,8 +181,8 @@ def slpa(
     history = []
     with no_aqe(spark):
         for it in range(start_it + 1, iterations + 1):
-            spoken = _speak(sym, memory, it, seed, beta)
-            adopted = _listen(spoken, it, seed)
+            spoken = _speak(sym, memory, it, seed, beta, hash_mode)
+            adopted = _listen(spoken, it, seed, hash_mode)
             memory, got = loop.step(
                 memory.unionByName(
                     adopted.withColumn("cnt", F.lit(1).cast("long"))
