@@ -50,6 +50,32 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_edges_min2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence edges appearing in >= 2 orders — a sparser
+    community-structured graph (the raw co-occurrence graph is so dense
+    that LPA collapses it to one community; thresholding leaves real
+    multilevel structure for the hlpa oracle: 3 levels / 385 communities
+    at sf0.01)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+_PART_EDGES_MIN2_SQL = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst, 1.0 AS weight
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
 _PART_EDGES_SQL = """
     SELECT a.l_partkey AS src, b.l_partkey AS dst, 1.0 AS weight
     FROM lineitem a JOIN lineitem b
@@ -527,9 +553,20 @@ def q_slpa(spark, sf_dir):
 
 
 def q_hlpa(spark, sf_dir):
+    """Multilevel LPA (src/hlpa.jl:65-142) in the oracle mode:
+    unweighted first level (so every level's vote weights are
+    integer-valued doubles — unit votes, then count-carrying collapsed
+    weights — exact under any summation order) and the portable
+    id-parity move gate. The driver's oracle (_hlpa_oracle) unrolls all
+    4 levels as weighted recursive-CTE LPAs with collapse/compose
+    between and replays the early-stop rule. The similarity-weighted
+    default mode stays pytest-covered (tests/test_communities.py)."""
     from communitydetection_jl_spark.operators.multilevel import hlpa
 
-    return hlpa(_part_edges(spark, sf_dir), max_levels=4).membership
+    return hlpa(
+        _part_edges_min2(spark, sf_dir), use_similarity=False, max_levels=4,
+        parity_expr=F.pmod(F.col("id"), F.lit(2)),
+    ).membership
 
 
 def q_map_equation(spark, sf_dir):
@@ -1099,6 +1136,105 @@ def _lpa_shard_oracle() -> str:
     """
 
 
+def _hlpa_oracle() -> str:
+    """q_hlpa (oracle mode) unrolled: 4 levels of weighted semi-sync
+    sticky LPA as recursive CTEs (the _lpa_full_oracle machinery with
+    SUM(weight) votes and real self-loop vote rows), collapse
+    (least/greatest + weight sum) and membership composition between
+    levels, then the engine's early-stop rule replayed as a CASE over
+    the per-level (n, q) counts — later levels are computed but unused
+    when the engine would have stopped, which is sound because every
+    level is a pure function of the data. Float story: unit first-level
+    votes and count-carrying collapsed weights keep every vote sum an
+    integer-valued double — exact under any summation order in both
+    engines. Ends with the same first-seen permute as _lpa_full_oracle
+    (ref src/hlpa.jl:65-142)."""
+    blocks = []
+    for lv in range(4):
+        blocks.append(f"""
+        sym{lv} AS MATERIALIZED (
+                    SELECT src, dst, w FROM e{lv}
+                    UNION ALL SELECT dst, src, w FROM e{lv} WHERE src <> dst),
+        v{lv} AS MATERIALIZED (
+                  SELECT DISTINCT id FROM
+                  (SELECT src AS id FROM e{lv} UNION ALL SELECT dst FROM e{lv})),
+        aug{lv} AS MATERIALIZED (
+                    SELECT src, dst, w, FALSE AS mark FROM sym{lv}
+                    UNION ALL SELECT id, id, 0.0, TRUE FROM v{lv}),
+        it{lv} AS (
+          SELECT 0 AS k, id, id AS lbl,
+                 1::BIGINT AS moved, 0::BIGINT AS wants
+          FROM v{lv}
+          UNION ALL
+          SELECT k, id, new_lbl AS lbl,
+                 SUM(CASE WHEN new_lbl <> cur_lbl THEN 1 ELSE 0 END) OVER () AS moved,
+                 SUM(CASE WHEN want_lbl <> cur_lbl THEN 1 ELSE 0 END) OVER () AS wants
+          FROM (
+            SELECT id, k + 1 AS k,
+                   CASE WHEN id % 2 = k % 2 THEN lbl ELSE cur_lbl END AS new_lbl,
+                   lbl AS want_lbl, cur_lbl
+            FROM (
+              SELECT id, lbl, k, c, cur,
+                     MAX(CASE WHEN cur THEN lbl END) OVER (PARTITION BY id) AS cur_lbl,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY c DESC, cur DESC, lbl ASC) AS rn
+              FROM (
+                SELECT a.src AS id, it{lv}.lbl, MAX(it{lv}.k) AS k,
+                       COALESCE(SUM(CASE WHEN NOT a.mark THEN a.w END), 0.0) AS c,
+                       BOOL_OR(a.mark) AS cur
+                FROM it{lv} JOIN aug{lv} a ON it{lv}.id = a.dst
+                WHERE (it{lv}.moved > 0 OR it{lv}.wants > 0) AND it{lv}.k < 100
+                GROUP BY a.src, it{lv}.lbl) cnt) pick
+            WHERE rn = 1) mv
+        ),
+        lvl{lv} AS MATERIALIZED (
+                    SELECT id, lbl FROM it{lv}
+                    WHERE k = (SELECT MAX(k) FROM it{lv})),
+        st{lv} AS MATERIALIZED (
+                   SELECT COUNT(*) AS n, COUNT(DISTINCT lbl) AS q FROM lvl{lv}),
+        e{lv + 1} AS MATERIALIZED (
+          SELECT LEAST(ma.lbl, mb.lbl) AS src,
+                 GREATEST(ma.lbl, mb.lbl) AS dst, SUM(e.w) AS w
+          FROM e{lv} e JOIN lvl{lv} ma ON e.src = ma.id
+                       JOIN lvl{lv} mb ON e.dst = mb.id
+          GROUP BY 1, 2)""")
+    levels_sql = ",".join(blocks)
+    return f"""
+        WITH RECURSIVE
+        e0 AS MATERIALIZED (
+               SELECT src, dst, CAST(weight AS DOUBLE) AS w
+               FROM ({_PART_EDGES_MIN2_SQL})),
+        {levels_sql},
+        m0 AS MATERIALIZED (SELECT id, lbl FROM lvl0),
+        m1 AS MATERIALIZED (
+          SELECT m0.id, l.lbl FROM m0 JOIN lvl1 l ON m0.lbl = l.id),
+        m2 AS MATERIALIZED (
+          SELECT m1.id, l.lbl FROM m1 JOIN lvl2 l ON m1.lbl = l.id),
+        m3 AS MATERIALIZED (
+          SELECT m2.id, l.lbl FROM m2 JOIN lvl3 l ON m2.lbl = l.id),
+        sdef AS (SELECT CASE
+          WHEN (SELECT q FROM st0) = (SELECT n FROM st0)
+               OR (SELECT q FROM st0) <= 1 THEN 0
+          WHEN (SELECT q FROM st1) >= (SELECT q FROM st0)
+               OR (SELECT q FROM st1) = (SELECT n FROM st1)
+               OR (SELECT q FROM st1) <= 1 THEN 1
+          WHEN (SELECT q FROM st2) >= (SELECT q FROM st1)
+               OR (SELECT q FROM st2) = (SELECT n FROM st2)
+               OR (SELECT q FROM st2) <= 1 THEN 2
+          ELSE 3 END AS s),
+        fin AS MATERIALIZED (
+          SELECT id, lbl FROM m0 WHERE (SELECT s FROM sdef) = 0
+          UNION ALL SELECT id, lbl FROM m1 WHERE (SELECT s FROM sdef) = 1
+          UNION ALL SELECT id, lbl FROM m2 WHERE (SELECT s FROM sdef) = 2
+          UNION ALL SELECT id, lbl FROM m3 WHERE (SELECT s FROM sdef) = 3),
+        firsts AS (SELECT lbl, MIN(id) AS fid FROM fin GROUP BY 1),
+        mapping AS (SELECT lbl, ROW_NUMBER() OVER (ORDER BY fid) AS comm
+                    FROM firsts)
+        SELECT fin.id, CAST(mapping.comm AS BIGINT) AS comm
+        FROM fin JOIN mapping USING (lbl)
+    """
+
+
 def _slpa_oracle() -> str:
     """md5-mode SLPA (q_slpa) replayed bit-for-bit: 10 rounds of
     speak (inverse-CDF sample from each speaker's memory at
@@ -1477,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_prf": _lang_prf_oracle(),
         "map_equation": _map_equation_oracle(),
         "slpa": _slpa_oracle(),
+        "hlpa": _hlpa_oracle(),
         "pagerank_full": _pagerank_full_oracle(),
         "lsh_near_vectors": _lsh_near_vectors_oracle(),
         "lpa_full": _lpa_full_oracle(),

@@ -39,6 +39,7 @@ def hlpa(
     max_iter: int = 100,
     ledger=None,
     record_quality: bool = False,
+    parity_expr=None,
 ) -> HLPAResult:
     """Hierarchical LPA. ``use_similarity=True`` weights the first level
     by (cn+2)/(deg_u+deg_v-cn) like the reference default.
@@ -46,7 +47,13 @@ def hlpa(
     modularity of the composed membership on the base graph — the
     per-level Q ledger of hlpa_record_Q (src/hlpa.jl:202-257; per-move
     Q is meaningless under bulk-synchronous sweeps, per-level is the
-    faithful granularity)."""
+    faithful granularity). ``parity_expr`` (e.g. ``pmod(id, 2)``)
+    replaces each level's default hash move-gate so the whole
+    multilevel run is SQL-oracle-reproducible; with
+    ``use_similarity=False`` every vote weight is then an
+    integer-valued double (unit first level, count-carrying collapses)
+    and the driver's unrolled recursive-CTE oracle replays all levels
+    exactly."""
     base = canonicalize_undirected(edges)
     if use_similarity:
         cur = similarity(base).select("src", "dst", F.col("similarity").alias("weight"))
@@ -62,6 +69,7 @@ def hlpa(
         res = label_propagation(
             cur, weighted=True, sticky=True, max_iter=max_iter,
             renumber=False, ledger=ledger, state_name=f"lpa_level{level}",
+            parity_expr=parity_expr,
         )
         lvl = res.labels  # (id, comm)
         n = lvl.count()
