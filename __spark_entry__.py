@@ -411,6 +411,18 @@ def q_lpa_full(spark, sf_dir):
 
 
 def q_louvain(spark, sf_dir):
+    """Modularity Louvain (src/Optimiser.jl:135-144 + MPartition).
+
+    The louvain/infomap family is deliberately rows-only at the driver
+    gate: sweeps move many vertices per superstep behind a hash-parity
+    conflict gate and finish with a driver-local exact phase — the
+    result is deterministic but replaying it needs the engine itself,
+    not ANSI SQL (unlike the LPA/SLPA/hlpa/k-clique family, all
+    SQL-oracled end to end). Correctness evidence instead: the six
+    objective FUNCTIONS are each driver-oracled (modularity_score,
+    rber/significance/surprise_score, map_equation), and pytest pins
+    NMI=1.0 against planted partitions plus monotone-quality sweeps
+    (tests/test_communities.py)."""
     from communitydetection_jl_spark.operators.louvain import louvain
 
     return louvain(_part_edges(spark, sf_dir)).membership
@@ -581,7 +593,11 @@ def q_map_equation(spark, sf_dir):
 def q_infomap(spark, sf_dir):
     """Map-equation-minimizing communities (Infomap, operators/infomap.py;
     reference entry point flow_partition + optimize_partition!,
-    src/FlowPartition.jl + src/Optimiser.jl in minimize mode)."""
+    src/FlowPartition.jl + src/Optimiser.jl in minimize mode).
+    Rows-only for the same reason as q_louvain (hash-gated sweeps +
+    driver-local phase); the map-equation OBJECTIVE itself is
+    driver-oracled (map_equation) and pytest pins codelength descent
+    + fixture partitions (tests/test_infomap.py)."""
     from communitydetection_jl_spark.operators.infomap import infomap
 
     return infomap(_part_edges(spark, sf_dir)).membership

@@ -504,53 +504,57 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     loop = StateLoop(spark, f"louvain_l{level}", bucket_key="id",
                      parts=parts, ledger=None)
     with shuffle_parts(spark, parts):
+        # ONE continuous override: init, aux materialization and every
+        # sweep must all run at `parts` or the persisted aux/memb land
+        # on an incompatible partitioning and each sweep pays an extra
+        # exchange re-aligning them
         memb = loop.init(verts.select("id", F.col("id").alias("comm")))
         n = memb.count()
-    if m <= 0:
-        loop.cleanup(keep_final=True)
-        return memb
-    setbased = objective in ("significance", "surprise")
-    if objective == "cpm":
-        aux = (node_sizes or verts.select("id", F.lit(1.0).alias("k2"))).select(
-            "id", F.col(node_sizes.columns[1] if node_sizes is not None else "k2").cast("double").alias("k2")
-        )
-        penalty = gamma
-    elif setbased:
-        aux = (node_sizes or verts.select("id", F.lit(1.0).alias("k2"))).select(
-            "id", F.col(node_sizes.columns[1] if node_sizes is not None else "k2").cast("double").alias("nsize")
-        )
-        penalty = 0.0
-    else:
-        aux = _strengths(edges).select("id", F.col("k").alias("k2"))
-        penalty = gamma / (2.0 * m)
-    aux = aux.persist()
-    aux.count()
-    bs = base_scalars or {}
-    low_streak = 0
-    with shuffle_parts(spark, parts), no_aqe(spark):
-        for sweep in range(max_sweeps):
-            if setbased:
-                plan = _move_sweep_set(
-                    edges, memb.select("id", "comm"), aux, sweep % 2, eps,
-                    objective, bs.get("density", 0.0),
-                    bs.get("n_total", float(n)), bs.get("m_total", m))
-            else:
-                plan = _move_sweep(edges, memb.select("id", "comm"), aux,
-                                   penalty, sweep % 2, eps)
-            memb, got = loop.step(
-                plan,
-                {"moved": F.sum(F.col("moved").cast("long"))},
-                write_cols=["id", "comm"],
+        if m <= 0:
+            loop.cleanup(keep_final=True)
+            return memb
+        setbased = objective in ("significance", "surprise")
+        if objective == "cpm":
+            aux = (node_sizes or verts.select("id", F.lit(1.0).alias("k2"))).select(
+                "id", F.col(node_sizes.columns[1] if node_sizes is not None else "k2").cast("double").alias("k2")
             )
-            moved = int(got.get("moved") or 0)
-            if ledger is not None:
-                ledger.record(sweep, {"level": level, "moved": moved})
-            if moved <= move_floor * n:
-                low_streak += 1
-                if low_streak >= 2:  # both parities quiet
-                    break
-            else:
-                low_streak = 0
+            penalty = gamma
+        elif setbased:
+            aux = (node_sizes or verts.select("id", F.lit(1.0).alias("k2"))).select(
+                "id", F.col(node_sizes.columns[1] if node_sizes is not None else "k2").cast("double").alias("nsize")
+            )
+            penalty = 0.0
+        else:
+            aux = _strengths(edges).select("id", F.col("k").alias("k2"))
+            penalty = gamma / (2.0 * m)
+        aux = aux.persist()
+        aux.count()
+        bs = base_scalars or {}
+        low_streak = 0
+        with no_aqe(spark):
+            for sweep in range(max_sweeps):
+                if setbased:
+                    plan = _move_sweep_set(
+                        edges, memb.select("id", "comm"), aux, sweep % 2, eps,
+                        objective, bs.get("density", 0.0),
+                        bs.get("n_total", float(n)), bs.get("m_total", m))
+                else:
+                    plan = _move_sweep(edges, memb.select("id", "comm"), aux,
+                                       penalty, sweep % 2, eps)
+                memb, got = loop.step(
+                    plan,
+                    {"moved": F.sum(F.col("moved").cast("long"))},
+                    write_cols=["id", "comm"],
+                )
+                moved = int(got.get("moved") or 0)
+                if ledger is not None:
+                    ledger.record(sweep, {"level": level, "moved": moved})
+                if moved <= move_floor * n:
+                    low_streak += 1
+                    if low_streak >= 2:  # both parities quiet
+                        break
+                else:
+                    low_streak = 0
     aux.unpersist()
     loop.cleanup(keep_final=True)
     return memb.select("id", "comm")
