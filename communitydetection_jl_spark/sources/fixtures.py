@@ -171,7 +171,9 @@ def football_like(spark: SparkSession, seed: int = 42):
     The reference exercises ``graphfamous("football")`` (GraphPlot.jl
     data; README.md usage, test/louvain.jl:497). The actual 2000-season
     edge list ships with an external package and is not available
-    offline, so this fixture reproduces its *statistics* (115 teams,
+    offline (this sandbox has no network, and embedding a from-memory
+    reconstruction of the 613 edges would risk silently corrupting the
+    canonical graph), so this fixture reproduces its *statistics* (115 teams,
     conference sizes 8-12, ~613 edges, avg degree ~10.7, strong
     intra-conference density) as a seeded planted partition — the same
     role in tests: a mid-size graph with 12 ground-truth communities.
