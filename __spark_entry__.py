@@ -540,14 +540,21 @@ def q_lpa_record(spark, sf_dir):
     """Per-move LPA modularity ledger — label_propagation_record!
     parity (ref src/multilevel_label_propagation.jl:166-212): one row
     per vote with the post-vote global modularity. Deterministic mode
-    (ascending frontier order, smallest-label ties); the incremental Q
-    bookkeeping is pytest-verified against the driver-oracled
-    modularity() at sampled replay steps
-    (tests/test_async_and_salting.py::test_lpa_record_per_move_q)."""
+    (ascending frontier order, smallest-label ties). Runs on the
+    part graph restricted to partkey <= 200 so the driver oracle — a
+    recursive CTE replaying the sequential sweep ONE VOTE PER
+    ITERATION (_lpa_record_oracle) — stays tractable; the engine's
+    incremental Q bookkeeping is additionally pytest-verified against
+    modularity() at sampled replay steps on the full graph
+    (tests/test_async_and_salting.py::test_lpa_record_per_move_q).
+    Q rounded to 6 dp on both sides (incremental float updates vs the
+    oracle's from-scratch per-move recompute agree to ~1e-13)."""
     from communitydetection_jl_spark.operators.lpa_async import lpa_record
 
-    _, qrec = lpa_record(_part_edges(spark, sf_dir), deterministic=True)
-    return qrec
+    e = _part_edges(spark, sf_dir).filter(
+        (F.col("src") <= 200) & (F.col("dst") <= 200))
+    _, qrec = lpa_record(e, deterministic=True)
+    return qrec.withColumn("q", F.round("q", 6))
 
 
 def q_slpa(spark, sf_dir):
@@ -996,6 +1003,120 @@ def _lpa_full_oracle() -> str:
         mapping AS (SELECT lbl, ROW_NUMBER() OVER (ORDER BY fid) AS comm FROM firsts)
         SELECT fin.id, CAST(mapping.comm AS BIGINT) AS comm
         FROM fin JOIN mapping USING (lbl)
+    """
+
+
+def _lpa_record_oracle() -> str:
+    """The sequential per-move LPA sweep (q_lpa_record /
+    label_propagation_record!, ref src/multilevel_label_propagation.jl:
+    166-212) replayed ONE VOTE PER RECURSIVE ITERATION.
+
+    State rows are one per vertex (lbl, active, pending); marker rows
+    in ``aug`` deliver each vertex's own state and degree through the
+    single allowed recursive reference. Per iteration: u = MIN(pending)
+    (ascending deterministic order); if u is inactive the iteration is
+    a silent skip (pending shrinks, no record); else u adopts the
+    smallest max-count neighbor label, a move reactivates u's
+    neighbors, a non-move deactivates u, and the post-vote modularity
+    is recomputed FROM SCRATCH over the updated labels (paired-row
+    window for the intra-edge indicator, per-community degree sums via
+    first-row-of-partition windows) — agreeing with the engine's
+    incremental Q to ~1e-13, absorbed by ROUND(q, 6) on both sides.
+    An empty pending set re-snapshots pending := active (new pass);
+    recursion ends when no vertex is active."""
+    return f"""
+        WITH RECURSIVE
+        e AS (SELECT src, dst FROM ({_PART_EDGES_SQL})
+              WHERE src <= 200 AND dst <= 200),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        vd AS (SELECT src AS id, COUNT(*) * 1.0 AS deg FROM sym GROUP BY 1),
+        m2c AS (SELECT COUNT(*) * 1.0 AS m2 FROM sym),
+        aug AS (SELECT src AS nid, dst AS vid, FALSE AS mark,
+                       CAST(NULL AS DOUBLE) AS deg FROM sym
+                UNION ALL SELECT id, id, TRUE, deg FROM vd),
+        it AS (
+          SELECT id, CAST(id AS BIGINT) AS lbl, TRUE AS act, TRUE AS pend,
+                 CAST(0 AS BIGINT) AS step, CAST(0.0 AS DOUBLE) AS q,
+                 TRUE AS cont,
+                 CAST(NULL AS BIGINT) AS vis_id, CAST(NULL AS BIGINT) AS vis_lbl
+          FROM vd
+          UNION ALL
+          SELECT id, lbl, act, pend, step, q,
+                 BOOL_OR(act) OVER () AS cont,
+                 CASE WHEN visit THEN u END AS vis_id,
+                 CASE WHEN visit THEN ulbl_after END AS vis_lbl
+          FROM (
+            SELECT vid AS id, lbl_new AS lbl,
+                   CASE WHEN u IS NULL THEN vact
+                        WHEN visit AND moved THEN (vact OR nbr_u)
+                        WHEN visit THEN (vact AND vid <> u)
+                        ELSE vact END AS act,
+                   CASE WHEN u IS NULL THEN vact
+                        ELSE (vpend AND vid <> u) END AS pend,
+                   step + CASE WHEN visit THEN 1 ELSE 0 END AS step,
+                   q_new AS q, visit, u,
+                   CASE WHEN moved THEN cand_lbl ELSE u_lbl_old END AS ulbl_after
+            FROM (
+              SELECT *,
+                     CASE WHEN visit
+                          THEN e2sum / (SELECT m2 FROM m2c)
+                               - dc2sum / ((SELECT m2 FROM m2c) * (SELECT m2 FROM m2c))
+                          ELSE q END AS q_new
+              FROM (
+                SELECT *,
+                       SUM(CASE WHEN NOT mark AND same THEN 1 ELSE 0 END) OVER () AS e2sum,
+                       SUM(CASE WHEN mark AND rn_comm = 1 THEN dc_c * dc_c END) OVER () AS dc2sum,
+                       BOOL_OR(NOT mark AND nid = u) OVER (PARTITION BY vid) AS nbr_u
+                FROM (
+                  SELECT *,
+                         (MIN(lbl_new) OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid))
+                          = MAX(lbl_new) OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid))) AS same,
+                         SUM(CASE WHEN mark THEN deg END) OVER (PARTITION BY mark, lbl_new) AS dc_c,
+                         ROW_NUMBER() OVER (PARTITION BY mark, lbl_new ORDER BY vid) AS rn_comm
+                  FROM (
+                    SELECT *,
+                           (u IS NOT NULL AND COALESCE(u_act_raw, FALSE)) AS visit,
+                           (u IS NOT NULL AND COALESCE(u_act_raw, FALSE)
+                            AND cand_lbl <> u_lbl_old) AS moved,
+                           CASE WHEN u IS NOT NULL AND COALESCE(u_act_raw, FALSE)
+                                     AND cand_lbl <> u_lbl_old AND vid = u
+                                THEN cand_lbl ELSE vlbl END AS lbl_new
+                    FROM (
+                      SELECT *,
+                             MIN(CASE WHEN NOT mark AND nid = u AND c_u = max_c THEN vlbl END)
+                               OVER () AS cand_lbl
+                      FROM (
+                        SELECT *,
+                               MAX(CASE WHEN NOT mark AND nid = u THEN c_u END) OVER () AS max_c
+                        FROM (
+                          SELECT *,
+                                 BOOL_OR(mark AND vid = u AND vact) OVER () AS u_act_raw,
+                                 MAX(CASE WHEN mark AND vid = u THEN vlbl END) OVER () AS u_lbl_old,
+                                 SUM(CASE WHEN NOT mark AND nid = u THEN 1 ELSE 0 END)
+                                   OVER (PARTITION BY vlbl) AS c_u
+                          FROM (
+                            SELECT *,
+                                   MIN(CASE WHEN mark AND vpend THEN vid END) OVER () AS u
+                            FROM (
+                              SELECT a.nid, a.vid, a.mark, a.deg,
+                                     it.lbl AS vlbl, it.act AS vact, it.pend AS vpend,
+                                     it.step, it.q
+                              FROM it JOIN aug a ON it.id = a.vid
+                              WHERE it.cont
+                            ) l0
+                          ) l1
+                        ) l2
+                      ) l3
+                    ) l4
+                  ) l5
+                ) l6
+              ) l7
+            ) l8
+            WHERE mark
+          ) l9
+        )
+        SELECT DISTINCT step, vis_id AS id, vis_lbl AS lbl, ROUND(q, 6) AS q
+        FROM it WHERE vis_id IS NOT NULL
     """
 
 
@@ -1633,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_full": _pagerank_full_oracle(),
         "lsh_near_vectors": _lsh_near_vectors_oracle(),
         "lpa_full": _lpa_full_oracle(),
+        "lpa_record": _lpa_record_oracle(),
         "kclique": _kclique_oracle(),
         "lpa_shard_async": _lpa_shard_oracle(),
         "kclique3_counts": f"""
