@@ -89,6 +89,24 @@ _ORDER_EDGES_SQL = f"""
 """
 
 
+def _part_edges_cap(spark: SparkSession, sf_dir: str, cap: int = 60) -> DataFrame:
+    """Part co-occurrence restricted to partkey <= cap — a fixed-size
+    slice whose Louvain run stays entirely in the driver-local exact
+    phase (edges << local_threshold) so the sequential greedy is
+    replayable by the recursive-CTE interpreter oracle. cap=60 keeps
+    gain separation 1/(2m^2) >= 7e-7 above the optimizer's eps=1e-7 at
+    every tested sf, so within-eps gain groups are exact rational ties
+    and the argmin-community tie-break replays exactly."""
+    return _part_edges(spark, sf_dir).filter(
+        (F.col("src") <= cap) & (F.col("dst") <= cap))
+
+
+_PART_EDGES_CAP_SQL = f"""
+    SELECT src, dst, weight FROM ({_PART_EDGES_SQL})
+    WHERE src <= 60 AND dst <= 60
+"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -456,6 +474,41 @@ def q_louvain_rber(spark, sf_dir):
     return louvain(_part_edges(spark, sf_dir), objective="rber", gamma=1.0).membership
 
 
+def q_louvain_local(spark, sf_dir):
+    """Full Louvain (modularity) on the partkey<=60 slice — small
+    enough that the engine runs its driver-local exact phase
+    (src/Optimiser.jl:135-144 semantics: sorted sweeps, min-community
+    tie-break, collapse+recurse while shrinking), which the driver
+    oracle replays move by move as a recursive CTE
+    (_louvain_local_oracle). The full-graph q_louvain stays rows-only
+    and exercises the distributed sweep path."""
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges_cap(spark, sf_dir)).membership
+
+
+def q_louvain_cpm_local(spark, sf_dir):
+    """Full CPM Louvain (gamma=0.5) on the partkey<=60 slice —
+    oracled end to end like q_louvain_local (CPM gains are integer
+    multiples of gamma, so the replay is eps-robust by construction)."""
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges_cap(spark, sf_dir),
+                   objective="cpm", gamma=0.5).membership
+
+
+def q_louvain_rber_local(spark, sf_dir):
+    """Full RBER Louvain (gamma=1) on the partkey<=60 slice — the
+    engine reduces RBER to CPM with penalty gamma*density
+    (operators/louvain.py:622-624; ref src/MPartition.jl:483-533);
+    the oracle mirrors the same reduction, with density = m/(n(n-1)/2)
+    an exact rational so gain ties replay exactly."""
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges_cap(spark, sf_dir),
+                   objective="rber", gamma=1.0).membership
+
+
 def q_significance_score(spark, sf_dir):
     """Scalar significance of the brand partition (SQL-oracled)."""
     from communitydetection_jl_spark.operators.objectives import significance_quality
@@ -697,6 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_significance": q_louvain_significance,
         "louvain_surprise": q_louvain_surprise,
         "louvain_rber": q_louvain_rber,
+        "louvain_local": q_louvain_local,
+        "louvain_cpm_local": q_louvain_cpm_local,
+        "louvain_rber_local": q_louvain_rber_local,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_near_vectors": q_lsh_near_vectors,
@@ -1117,6 +1173,163 @@ def _lpa_record_oracle() -> str:
         )
         SELECT DISTINCT step, vis_id AS id, vis_lbl AS lbl, ROUND(q, 6) AS q
         FROM it WHERE vis_id IS NOT NULL
+    """
+
+
+def _louvain_local_oracle(mode: str) -> str:
+    """The driver-local exact Louvain phase (_local_louvain,
+    operators/louvain.py:56-143; ref src/Optimiser.jl:135-144 +
+    src/MPartition.jl) replayed ONE NODE VISIT PER RECURSIVE ITERATION,
+    multi-level included.
+
+    State rows are one per BASE vertex carrying (blk, comm): blk is the
+    coarse node the vertex belongs to at the current level, comm its
+    community — so collapse levels need no graph rewrite (moving a
+    coarse node == moving its base block; modularity/CPM gains are
+    level-invariant when strengths/sizes are summed over blocks).
+    Per iteration: u = MIN(pending block); gains for u's candidate
+    communities come from arc windows (w_to via PARTITION BY the
+    partner-transported comm_dst; tot2 via per-community sums
+    transported across each edge's two directed rows); winner = the
+    smallest community within eps of the max gain, accepted when the
+    max gain > eps — exact because distinct gains are rationals
+    separated by >= 1/(2m^2) (modularity) or multiples of gamma (CPM),
+    both >> eps=1e-7 at the cap-60 slice, while float noise stays
+    ~1e-13 << eps. A no-move pass collapses (blk := comm) when the
+    community count shrank, else terminates; final labels renumber by
+    decreasing size with ties on the old id (renumber_communities,
+    src/AbstractPartition.jl:5-21).
+
+    ``mode``: 'modularity' (k2/tot2 = strengths, penalty 1/(2m)),
+    'cpm' (k2/tot2 = block/community node counts, penalty gamma=0.5),
+    'rber' (CPM with penalty gamma*density, operators/louvain.py:622)."""
+    if mode == "modularity":
+        pen = "(SELECT 1.0 / (2.0 * m) FROM mc)"
+        k2u = "SUM(CASE WHEN NOT mark AND vblk = u THEN w ELSE 0 END) OVER ()"
+        tot2 = "SUM(CASE WHEN NOT mark THEN w ELSE 0 END) OVER (PARTITION BY vcomm)"
+    elif mode == "cpm":
+        pen = "0.5"
+        k2u = "SUM(CASE WHEN mark AND vblk = u THEN 1.0 ELSE 0 END) OVER ()"
+        tot2 = "SUM(CASE WHEN mark THEN 1.0 ELSE 0 END) OVER (PARTITION BY vcomm)"
+    else:  # rber, gamma = 1
+        pen = "(SELECT mm / (nn * (nn - 1) / 2.0) FROM sc2)"
+        k2u = "SUM(CASE WHEN mark AND vblk = u THEN 1.0 ELSE 0 END) OVER ()"
+        tot2 = "SUM(CASE WHEN mark THEN 1.0 ELSE 0 END) OVER (PARTITION BY vcomm)"
+    return f"""
+        WITH RECURSIVE
+        e AS (SELECT src, dst, weight AS w FROM ({_PART_EDGES_CAP_SQL})),
+        sym AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+        vv AS (SELECT DISTINCT src AS id FROM sym),
+        mc AS (SELECT SUM(w) AS m FROM e),
+        sc2 AS (SELECT (SELECT COUNT(*) * 1.0 FROM e) AS mm,
+                       (SELECT COUNT(*) * 1.0 FROM vv) AS nn),
+        aug AS (SELECT src AS nid, dst AS vid, w, FALSE AS mark FROM sym
+                UNION ALL SELECT id, id, 0.0, TRUE FROM vv),
+        it AS (
+          SELECT id, CAST(id AS BIGINT) AS blk, CAST(id AS BIGINT) AS comm,
+                 TRUE AS pend, FALSE AS pmoved,
+                 CAST(0 AS BIGINT) AS iter, TRUE AS cont
+          FROM vv
+          UNION ALL
+          SELECT id, blk, comm, pend, pmoved, iter, BOOL_OR(go) OVER () AS cont
+          FROM (
+            SELECT vid AS id,
+                   CASE WHEN u IS NULL AND NOT vpmoved AND shrunk
+                        THEN vcomm ELSE vblk END AS blk,
+                   vcomm2 AS comm,
+                   CASE WHEN u IS NULL THEN (vpmoved OR shrunk) OR vpend
+                        ELSE (vpend AND vblk <> u) END AS pend,
+                   CASE WHEN u IS NULL THEN FALSE
+                        ELSE (vpmoved OR moved) END AS pmoved,
+                   iter + 1 AS iter,
+                   CASE WHEN u IS NULL AND NOT vpmoved AND NOT shrunk
+                        THEN FALSE ELSE TRUE END AS go
+            FROM (
+              SELECT *,
+                     CASE WHEN visit AND accept AND vblk = u
+                          THEN winner ELSE vcomm END AS vcomm2,
+                     (visit AND accept) AS moved
+              FROM (
+                SELECT *,
+                       (u IS NOT NULL) AS visit,
+                       (gstar IS NOT NULL AND gstar > 1e-7) AS accept,
+                       MIN(CASE WHEN cand AND gain > gstar - 1e-7
+                                THEN comm_dst END) OVER () AS winner,
+                       (cnt_comm < cnt_blk) AS shrunk
+                FROM (
+                  SELECT *,
+                         MAX(CASE WHEN cand THEN gain END) OVER () AS gstar,
+                         SUM(CASE WHEN mark AND rnc = 1 THEN 1 ELSE 0 END) OVER () AS cnt_comm,
+                         SUM(CASE WHEN mark AND rnb = 1 THEN 1 ELSE 0 END) OVER () AS cnt_blk
+                  FROM (
+                    SELECT *,
+                           CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                     AND comm_dst <> cu THEN TRUE ELSE FALSE END AS cand,
+                           CASE WHEN NOT mark AND vblk = u AND blk_dst <> u AND comm_dst <> cu
+                                THEN (w_to_c - pen * k2u * tot2_dst)
+                                     - (w_to_cu - pen * k2u * (tot2_cu - k2u))
+                                END AS gain,
+                           ROW_NUMBER() OVER (PARTITION BY mark, vcomm ORDER BY vid) AS rnc,
+                           ROW_NUMBER() OVER (PARTITION BY mark, vblk ORDER BY vid) AS rnb
+                    FROM (
+                      SELECT *,
+                             SUM(CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                      THEN w ELSE 0 END)
+                               OVER (PARTITION BY comm_dst) AS w_to_c,
+                             SUM(CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                           AND comm_dst = cu THEN w ELSE 0 END) OVER () AS w_to_cu,
+                             MAX(CASE WHEN vcomm = cu THEN tot2_src END) OVER () AS tot2_cu
+                      FROM (
+                        SELECT *,
+                               MAX(CASE WHEN mark AND vblk = u THEN vcomm END) OVER () AS cu,
+                               {k2u} AS k2u,
+                               CASE WHEN nid < vid THEN hi_blk ELSE lo_blk END AS blk_dst,
+                               CASE WHEN nid < vid THEN hi_comm ELSE lo_comm END AS comm_dst,
+                               CASE WHEN nid < vid THEN hi_tot ELSE lo_tot END AS tot2_dst
+                        FROM (
+                          SELECT *,
+                                 MAX(CASE WHEN NOT mark AND nid < vid THEN vblk END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_blk,
+                                 MAX(CASE WHEN NOT mark AND nid > vid THEN vblk END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_blk,
+                                 MAX(CASE WHEN NOT mark AND nid < vid THEN vcomm END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_comm,
+                                 MAX(CASE WHEN NOT mark AND nid > vid THEN vcomm END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_comm,
+                                 MAX(CASE WHEN NOT mark AND nid < vid THEN tot2_src END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_tot,
+                                 MAX(CASE WHEN NOT mark AND nid > vid THEN tot2_src END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_tot
+                          FROM (
+                            SELECT *,
+                                   {tot2} AS tot2_src,
+                                   MIN(CASE WHEN mark AND vpend THEN vblk END) OVER () AS u,
+                                   {pen} AS pen
+                            FROM (
+                              SELECT a.nid, a.vid, a.w, a.mark,
+                                     it.blk AS vblk, it.comm AS vcomm, it.pend AS vpend,
+                                     it.pmoved AS vpmoved, it.iter
+                              FROM it JOIN aug a ON it.id = a.nid
+                              WHERE it.cont AND it.iter < 5000
+                            ) l0
+                          ) l1
+                        ) l2
+                      ) l3
+                    ) l4
+                  ) l5
+                ) l6
+              ) l7
+            ) l8
+            WHERE mark
+          ) l9
+        ),
+        fin AS (SELECT id, comm FROM it WHERE iter = (SELECT MAX(iter) FROM it)),
+        sizes AS (SELECT comm AS old, COUNT(*) AS n FROM fin GROUP BY 1),
+        mapping AS (SELECT old,
+                           ROW_NUMBER() OVER (ORDER BY n DESC, old ASC) AS newc
+                    FROM sizes)
+        SELECT fin.id, CAST(mapping.newc AS BIGINT) AS comm
+        FROM fin JOIN mapping ON fin.comm = mapping.old
     """
 
 
@@ -1755,6 +1968,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_near_vectors": _lsh_near_vectors_oracle(),
         "lpa_full": _lpa_full_oracle(),
         "lpa_record": _lpa_record_oracle(),
+        "louvain_local": _louvain_local_oracle("modularity"),
+        "louvain_cpm_local": _louvain_local_oracle("cpm"),
+        "louvain_rber_local": _louvain_local_oracle("rber"),
         "kclique": _kclique_oracle(),
         "lpa_shard_async": _lpa_shard_oracle(),
         "kclique3_counts": f"""
