@@ -663,6 +663,21 @@ def q_infomap(spark, sf_dir):
     return infomap(_part_edges(spark, sf_dir)).membership
 
 
+def q_infomap_local(spark, sf_dir):
+    """Full undirected Infomap on the partkey<=60 slice — the engine's
+    driver-local exact map-equation greedy (_local_infomap,
+    operators/infomap.py:72-156; ref src/Optimiser.jl:148-254 +
+    src/FlowPartition.jl) replayed move by move by the recursive-CTE
+    oracle (_infomap_local_oracle). The full-graph q_infomap stays
+    rows-only. Replay robustness: the dL comparison uses eps=1e-10
+    grouping; engine (incrementally-updated q_c/p_c/sum_q) and oracle
+    (from-scratch per visit) agree to ~1e-13 because all flows are
+    rationals k/(2m), t=w/(2m), and both engines share glibc log."""
+    from communitydetection_jl_spark.operators.infomap import infomap
+
+    return infomap(_part_edges_cap(spark, sf_dir)).membership
+
+
 def q_infomap_directed(spark, sf_dir):
     """Directed Infomap with teleportation over the orders graph
     (diflow_partition + optimize_partition!, src/DiFlowPartition.jl:
@@ -762,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hlpa": q_hlpa,
         "map_equation": q_map_equation,
         "infomap": q_infomap,
+        "infomap_local": q_infomap_local,
         "infomap_directed": q_infomap_directed,
         "kclique": q_kclique,
         "kclique3_counts": q_kclique3_counts,
@@ -1330,6 +1346,166 @@ def _louvain_local_oracle(mode: str) -> str:
                     FROM sizes)
         SELECT fin.id, CAST(mapping.newc AS BIGINT) AS comm
         FROM fin JOIN mapping ON fin.comm = mapping.old
+    """
+
+
+def _infomap_local_oracle() -> str:
+    """The driver-local exact Infomap greedy (_local_infomap,
+    operators/infomap.py:72-156) replayed ONE NODE VISIT PER RECURSIVE
+    ITERATION — the Louvain interpreter skeleton (blk/comm state,
+    partner-row transports, min-pending visit order, collapse = blk :=
+    comm after a quiet pass) with the map-equation dL of
+    src/FlowPartition.jl:147-188 as the gain: q_c = per-community
+    cross-arc flow, p_c = per-community visit probability, and the
+    8-plogp delta expression mirrored term by term. Winner = smallest
+    candidate community within eps=1e-10 of the minimum dL, accepted
+    when dL* < -eps. Engine state is updated incrementally while the
+    oracle recomputes from scratch per visit; both agree to ~1e-13
+    (flows are rationals k/(2m), both engines share glibc log), far
+    inside the observed >=1e-5 gaps between distinct deltas on the
+    cap-60 slice. NOTE the NULL (not 0.0) constant for the arc rows'
+    p column in ``aug``: a non-NULL constant in the first UNION branch
+    is treated as column-wide constant by DuckDB inside a recursive
+    member, zeroing the marker rows' real p (observed; NULL is safe —
+    the same pattern _lpa_record_oracle uses for deg)."""
+    return f"""
+
+        WITH RECURSIVE
+        e AS (SELECT src, dst, weight FROM ({_PART_EDGES_CAP_SQL})),
+        mc AS (SELECT SUM(weight) AS m FROM e),
+        arcs AS (SELECT src, dst, weight / (2 * (SELECT m FROM mc)) AS t FROM e),
+        symw AS (SELECT src AS id, weight FROM e UNION ALL SELECT dst, weight FROM e),
+        flows AS (SELECT id, SUM(weight) / (2 * (SELECT m FROM mc)) AS p
+                  FROM symw GROUP BY id),
+        sym AS (SELECT src, dst, t FROM arcs UNION ALL SELECT dst, src, t FROM arcs),
+        aug AS (SELECT src AS nid, dst AS vid, t AS w, CAST(NULL AS DOUBLE) AS p, FALSE AS mark FROM sym
+                UNION ALL SELECT id, id, 0.0, p, TRUE FROM flows),
+        it AS (
+          SELECT id, CAST(id AS BIGINT) AS blk, CAST(id AS BIGINT) AS comm,
+                 TRUE AS pend, FALSE AS pmoved,
+                 CAST(0 AS BIGINT) AS iter, TRUE AS cont
+          FROM flows
+          UNION ALL
+          SELECT id, blk, comm, pend, pmoved, iter, BOOL_OR(go) OVER () AS cont
+          FROM (
+            SELECT vid AS id,
+                   CASE WHEN u IS NULL AND NOT vpmoved AND shrunk THEN vcomm ELSE vblk END AS blk,
+                   vcomm2 AS comm,
+                   CASE WHEN u IS NULL THEN (vpmoved OR shrunk) OR vpend
+                        ELSE (vpend AND vblk <> u) END AS pend,
+                   CASE WHEN u IS NULL THEN FALSE
+                        ELSE (vpmoved OR moved) END AS pmoved,
+                   iter + 1 AS iter,
+                   CASE WHEN u IS NULL AND NOT vpmoved AND NOT shrunk THEN FALSE
+                        ELSE TRUE END AS go
+            FROM (
+              SELECT *,
+                     CASE WHEN visit AND accept AND vblk = u THEN winner ELSE vcomm END AS vcomm2,
+                     (visit AND accept) AS moved
+              FROM (
+                SELECT *,
+                       (u IS NOT NULL) AS visit,
+                       (dstar IS NOT NULL AND dstar < -1e-10) AS accept,
+                       MIN(CASE WHEN cand AND d < dstar + 1e-10 THEN comm_dst END) OVER () AS winner,
+                       (cnt_comm < cnt_blk) AS shrunk
+                FROM (
+                  SELECT *,
+                         MIN(CASE WHEN cand THEN d END) OVER () AS dstar,
+                         SUM(CASE WHEN mark AND rnc = 1 THEN 1 ELSE 0 END) OVER () AS cnt_comm,
+                         SUM(CASE WHEN mark AND rnb = 1 THEN 1 ELSE 0 END) OVER () AS cnt_blk
+                  FROM (
+                    SELECT *,
+                           CASE WHEN cand THEN (
+            CASE WHEN sq2 > 0 THEN (sq2) * LN(sq2) ELSE 0.0 END - CASE WHEN sum_q > 0 THEN (sum_q) * LN(sum_q) ELSE 0.0 END
+            - 2.0 * (CASE WHEN qcu2 > 0 THEN (qcu2) * LN(qcu2) ELSE 0.0 END + CASE WHEN qc2 > 0 THEN (qc2) * LN(qc2) ELSE 0.0 END - CASE WHEN q_cu > 0 THEN (q_cu) * LN(q_cu) ELSE 0.0 END - CASE WHEN q_dst > 0 THEN (q_dst) * LN(q_dst) ELSE 0.0 END)
+            + CASE WHEN qcu2 + p_cu - pu > 0 THEN (qcu2 + p_cu - pu) * LN(qcu2 + p_cu - pu) ELSE 0.0 END + CASE WHEN qc2 + pc_dst + pu > 0 THEN (qc2 + pc_dst + pu) * LN(qc2 + pc_dst + pu) ELSE 0.0 END
+            - CASE WHEN q_cu + p_cu > 0 THEN (q_cu + p_cu) * LN(q_cu + p_cu) ELSE 0.0 END - CASE WHEN q_dst + pc_dst > 0 THEN (q_dst + pc_dst) * LN(q_dst + pc_dst) ELSE 0.0 END
+        ) END AS d,
+                           ROW_NUMBER() OVER (PARTITION BY mark, vcomm ORDER BY vid) AS rnc,
+                           ROW_NUMBER() OVER (PARTITION BY mark, vblk ORDER BY vid) AS rnb
+                    FROM (
+                      SELECT *,
+                             sum_q + (qcu2 - q_cu) + (qc2 - q_dst) AS sq2
+                      FROM (
+                        SELECT *,
+                               q_cu - tu + 2.0 * t_ucu AS qcu2,
+                               q_dst + tu - 2.0 * t_uc AS qc2
+                        FROM (
+                          SELECT *,
+                                 CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                           AND comm_dst <> cu THEN TRUE ELSE FALSE END AS cand,
+                                 CASE WHEN nid < vid THEN hi_q ELSE lo_q END AS q_dst,
+                                 CASE WHEN nid < vid THEN hi_pc ELSE lo_pc END AS pc_dst,
+                                 SUM(CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                          THEN w ELSE 0 END) OVER (PARTITION BY comm_dst) AS t_uc
+                          FROM (
+                            SELECT *,
+                                   MAX(CASE WHEN NOT mark AND nid < vid THEN q_src END)
+                                     OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_q,
+                                   MAX(CASE WHEN NOT mark AND nid > vid THEN q_src END)
+                                     OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_q,
+                                   MAX(CASE WHEN NOT mark AND nid < vid THEN p_csrc END)
+                                     OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_pc,
+                                   MAX(CASE WHEN NOT mark AND nid > vid THEN p_csrc END)
+                                     OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_pc,
+                                   MAX(CASE WHEN vcomm = cu THEN q_src END) OVER () AS q_cu,
+                                   MAX(CASE WHEN vcomm = cu THEN p_csrc END) OVER () AS p_cu,
+                                   SUM(CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                            THEN w ELSE 0 END) OVER () AS tu,
+                                   SUM(CASE WHEN mark THEN CASE WHEN vblk = u THEN p END END) OVER () AS pu,
+                                   SUM(CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                                 AND comm_dst = cu THEN w ELSE 0 END) OVER () AS t_ucu,
+                                   SUM(CASE WHEN NOT mark AND comm_dst <> vcomm THEN w ELSE 0 END)
+                                     OVER () AS sum_q
+                            FROM (
+                              SELECT *,
+                                     SUM(CASE WHEN NOT mark AND comm_dst <> vcomm THEN w ELSE 0 END)
+                                       OVER (PARTITION BY vcomm) AS q_src,
+                                     SUM(CASE WHEN mark THEN p END)
+                                       OVER (PARTITION BY vcomm) AS p_csrc
+                              FROM (
+                                SELECT *,
+                                       MAX(CASE WHEN mark AND vblk = u THEN vcomm END) OVER () AS cu,
+                                       CASE WHEN nid < vid THEN hi_blk ELSE lo_blk END AS blk_dst,
+                                       CASE WHEN nid < vid THEN hi_comm ELSE lo_comm END AS comm_dst
+                                FROM (
+                                  SELECT *,
+                                         MAX(CASE WHEN NOT mark AND nid < vid THEN vblk END)
+                                           OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_blk,
+                                         MAX(CASE WHEN NOT mark AND nid > vid THEN vblk END)
+                                           OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_blk,
+                                         MAX(CASE WHEN NOT mark AND nid < vid THEN vcomm END)
+                                           OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_comm,
+                                         MAX(CASE WHEN NOT mark AND nid > vid THEN vcomm END)
+                                           OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_comm,
+                                         MIN(CASE WHEN mark AND vpend THEN vblk END) OVER () AS u
+                                  FROM (
+                                    SELECT a.nid, a.vid, a.w, a.p, a.mark,
+                                           it.blk AS vblk, it.comm AS vcomm, it.pend AS vpend,
+                                           it.pmoved AS vpmoved, it.iter
+                                    FROM it JOIN aug a ON it.id = a.nid
+                                    WHERE it.cont AND it.iter < 5000
+                                  ) l0
+                                ) l1
+                              ) l2
+                            ) l3
+                          ) l4
+                        ) l5
+                      ) l6
+                    ) l7
+                  ) l8
+                ) l9
+              ) l10
+            ) l11
+            WHERE mark
+          ) l12
+        ),
+        fin AS (SELECT id, comm FROM it WHERE iter = (SELECT MAX(iter) FROM it)),
+        sizes AS (SELECT comm AS old, COUNT(*) AS n FROM fin GROUP BY 1),
+        mapping AS (SELECT old, ROW_NUMBER() OVER (ORDER BY n DESC, old ASC) AS newc FROM sizes)
+        SELECT fin.id, CAST(mapping.newc AS BIGINT) AS comm
+        FROM fin JOIN mapping ON fin.comm = mapping.old
+        ORDER BY id
     """
 
 
@@ -1971,6 +2147,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_local": _louvain_local_oracle("modularity"),
         "louvain_cpm_local": _louvain_local_oracle("cpm"),
         "louvain_rber_local": _louvain_local_oracle("rber"),
+        "infomap_local": _infomap_local_oracle(),
         "kclique": _kclique_oracle(),
         "lpa_shard_async": _lpa_shard_oracle(),
         "kclique3_counts": f"""
