@@ -509,6 +509,27 @@ def q_louvain_rber_local(spark, sf_dir):
                    objective="rber", gamma=1.0).membership
 
 
+def q_louvain_significance_local(spark, sf_dir):
+    """Full Significance Louvain on the partkey<=60 slice — the
+    engine's set-based driver-local greedy (_local_setbased,
+    operators/louvain.py:163-278; ref src/MPartition.jl:536-604)
+    replayed move by move by _setbased_local_oracle. The full-graph
+    q_louvain_significance stays rows-only."""
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges_cap(spark, sf_dir),
+                   objective="significance").membership
+
+
+def q_louvain_surprise_local(spark, sf_dir):
+    """Full Surprise Louvain on the partkey<=60 slice, oracled end to
+    end (ref src/MPartition.jl:333-385)."""
+    from communitydetection_jl_spark.operators.louvain import louvain
+
+    return louvain(_part_edges_cap(spark, sf_dir),
+                   objective="surprise").membership
+
+
 def q_significance_score(spark, sf_dir):
     """Scalar significance of the brand partition (SQL-oracled)."""
     from communitydetection_jl_spark.operators.objectives import significance_quality
@@ -768,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_local": q_louvain_local,
         "louvain_cpm_local": q_louvain_cpm_local,
         "louvain_rber_local": q_louvain_rber_local,
+        "louvain_significance_local": q_louvain_significance_local,
+        "louvain_surprise_local": q_louvain_surprise_local,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_near_vectors": q_lsh_near_vectors,
@@ -1509,6 +1532,157 @@ def _infomap_local_oracle() -> str:
     """
 
 
+def _setbased_local_oracle(objective: str) -> str:
+    """The set-based driver-local greedy (_local_setbased,
+    operators/louvain.py:163-278) replayed one visit per recursive
+    iteration — the Louvain interpreter skeleton with Significance
+    (sum_c C(n_c,2)*KL(p_c||p), src/MPartition.jl:536-604) or Surprise
+    (m*KL(m_in/m || poss_in/poss), src/MPartition.jl:333-385) gains:
+    per-community node counts and inner weights from marker/arc
+    windows (cm and m_in divide the symmetrized sums by 2.0 — exact),
+    KL mirrored guard for guard against objectives._kl. MAXIMIZE with
+    eps=1e-7: winner = smallest candidate within eps of the max gain.
+    Engine state is incremental, the oracle recomputes from scratch;
+    observed gain gaps on the cap-60 slice are >> eps while the
+    cross-engine float difference is ~1e-13 (rationals + glibc log),
+    verified by exact membership matches at sf0.001 and sf0.01."""
+    if objective == "significance":
+        gain = '(\n        (CASE WHEN ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0) > 0 THEN ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0) * (CASE WHEN ((cm_cu - w_to_cu - sw) / ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0)) > 0 AND (pp) > 0 THEN ((cm_cu - w_to_cu - sw) / ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0)) * LN(((cm_cu - w_to_cu - sw) / ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0)) / (pp)) ELSE 0.0 END + CASE WHEN ((cm_cu - w_to_cu - sw) / ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0)) < 1 AND (pp) < 1 THEN (1 - ((cm_cu - w_to_cu - sw) / ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0))) * LN((1 - ((cm_cu - w_to_cu - sw) / ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0))) / (1 - (pp))) ELSE 0.0 END) ELSE 0.0 END) - (CASE WHEN ((cn_cu) * ((cn_cu) - 1) / 2.0) > 0 THEN ((cn_cu) * ((cn_cu) - 1) / 2.0) * (CASE WHEN ((cm_cu) / ((cn_cu) * ((cn_cu) - 1) / 2.0)) > 0 AND (pp) > 0 THEN ((cm_cu) / ((cn_cu) * ((cn_cu) - 1) / 2.0)) * LN(((cm_cu) / ((cn_cu) * ((cn_cu) - 1) / 2.0)) / (pp)) ELSE 0.0 END + CASE WHEN ((cm_cu) / ((cn_cu) * ((cn_cu) - 1) / 2.0)) < 1 AND (pp) < 1 THEN (1 - ((cm_cu) / ((cn_cu) * ((cn_cu) - 1) / 2.0))) * LN((1 - ((cm_cu) / ((cn_cu) * ((cn_cu) - 1) / 2.0))) / (1 - (pp))) ELSE 0.0 END) ELSE 0.0 END)\n        + (CASE WHEN ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0) > 0 THEN ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0) * (CASE WHEN ((cm_dst + w_to_c + sw) / ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0)) > 0 AND (pp) > 0 THEN ((cm_dst + w_to_c + sw) / ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0)) * LN(((cm_dst + w_to_c + sw) / ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0)) / (pp)) ELSE 0.0 END + CASE WHEN ((cm_dst + w_to_c + sw) / ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0)) < 1 AND (pp) < 1 THEN (1 - ((cm_dst + w_to_c + sw) / ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0))) * LN((1 - ((cm_dst + w_to_c + sw) / ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0))) / (1 - (pp))) ELSE 0.0 END) ELSE 0.0 END) - (CASE WHEN ((cn_dst) * ((cn_dst) - 1) / 2.0) > 0 THEN ((cn_dst) * ((cn_dst) - 1) / 2.0) * (CASE WHEN ((cm_dst) / ((cn_dst) * ((cn_dst) - 1) / 2.0)) > 0 AND (pp) > 0 THEN ((cm_dst) / ((cn_dst) * ((cn_dst) - 1) / 2.0)) * LN(((cm_dst) / ((cn_dst) * ((cn_dst) - 1) / 2.0)) / (pp)) ELSE 0.0 END + CASE WHEN ((cm_dst) / ((cn_dst) * ((cn_dst) - 1) / 2.0)) < 1 AND (pp) < 1 THEN (1 - ((cm_dst) / ((cn_dst) * ((cn_dst) - 1) / 2.0))) * LN((1 - ((cm_dst) / ((cn_dst) * ((cn_dst) - 1) / 2.0))) / (1 - (pp))) ELSE 0.0 END) ELSE 0.0 END)\n    )'
+    else:
+        gain = '(\n        (CASE WHEN mm > 0 AND poss > 0 THEN mm * (CASE WHEN ((m_in - w_to_cu + w_to_c) / mm) > 0 AND ((poss_in - ((cn_cu) * ((cn_cu) - 1) / 2.0) + ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0) - ((cn_dst) * ((cn_dst) - 1) / 2.0) + ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0)) / poss) > 0 THEN ((m_in - w_to_cu + w_to_c) / mm) * LN(((m_in - w_to_cu + w_to_c) / mm) / ((poss_in - ((cn_cu) * ((cn_cu) - 1) / 2.0) + ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0) - ((cn_dst) * ((cn_dst) - 1) / 2.0) + ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0)) / poss)) ELSE 0.0 END + CASE WHEN ((m_in - w_to_cu + w_to_c) / mm) < 1 AND ((poss_in - ((cn_cu) * ((cn_cu) - 1) / 2.0) + ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0) - ((cn_dst) * ((cn_dst) - 1) / 2.0) + ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0)) / poss) < 1 THEN (1 - ((m_in - w_to_cu + w_to_c) / mm)) * LN((1 - ((m_in - w_to_cu + w_to_c) / mm)) / (1 - ((poss_in - ((cn_cu) * ((cn_cu) - 1) / 2.0) + ((cn_cu - s) * ((cn_cu - s) - 1) / 2.0) - ((cn_dst) * ((cn_dst) - 1) / 2.0) + ((cn_dst + s) * ((cn_dst + s) - 1) / 2.0)) / poss))) ELSE 0.0 END) ELSE 0.0 END)\n        - (CASE WHEN mm > 0 AND poss > 0 THEN mm * (CASE WHEN ((m_in) / mm) > 0 AND ((poss_in) / poss) > 0 THEN ((m_in) / mm) * LN(((m_in) / mm) / ((poss_in) / poss)) ELSE 0.0 END + CASE WHEN ((m_in) / mm) < 1 AND ((poss_in) / poss) < 1 THEN (1 - ((m_in) / mm)) * LN((1 - ((m_in) / mm)) / (1 - ((poss_in) / poss))) ELSE 0.0 END) ELSE 0.0 END)\n    )'
+    return f"""
+
+        WITH RECURSIVE
+        e AS (SELECT src, dst, weight AS w FROM ({_PART_EDGES_CAP_SQL})),
+        sym AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+        vv AS (SELECT DISTINCT src AS id FROM sym),
+        sc AS (SELECT (SELECT SUM(w) FROM e) AS mm,
+                      (SELECT COUNT(*) * 1.0 FROM vv) AS nn),
+        aug AS (SELECT src AS nid, dst AS vid, w, FALSE AS mark FROM sym
+                UNION ALL SELECT id, id, CAST(NULL AS DOUBLE), TRUE FROM vv),
+        it AS (
+          SELECT id, CAST(id AS BIGINT) AS blk, CAST(id AS BIGINT) AS comm,
+                 TRUE AS pend, FALSE AS pmoved,
+                 CAST(0 AS BIGINT) AS iter, TRUE AS cont
+          FROM vv
+          UNION ALL
+          SELECT id, blk, comm, pend, pmoved, iter, BOOL_OR(go) OVER () AS cont
+          FROM (
+            SELECT vid AS id,
+                   CASE WHEN u IS NULL AND NOT vpmoved AND shrunk THEN vcomm ELSE vblk END AS blk,
+                   vcomm2 AS comm,
+                   CASE WHEN u IS NULL THEN (vpmoved OR shrunk) OR vpend
+                        ELSE (vpend AND vblk <> u) END AS pend,
+                   CASE WHEN u IS NULL THEN FALSE
+                        ELSE (vpmoved OR moved) END AS pmoved,
+                   iter + 1 AS iter,
+                   CASE WHEN u IS NULL AND NOT vpmoved AND NOT shrunk THEN FALSE
+                        ELSE TRUE END AS go
+            FROM (
+              SELECT *,
+                     CASE WHEN visit AND accept AND vblk = u THEN winner ELSE vcomm END AS vcomm2,
+                     (visit AND accept) AS moved
+              FROM (
+                SELECT *,
+                       (u IS NOT NULL) AS visit,
+                       (gstar IS NOT NULL AND gstar > 1e-7) AS accept,
+                       MIN(CASE WHEN cand AND gain > gstar - 1e-7 THEN comm_dst END) OVER () AS winner,
+                       (cnt_comm < cnt_blk) AS shrunk
+                FROM (
+                  SELECT *,
+                         MAX(CASE WHEN cand THEN gain END) OVER () AS gstar,
+                         SUM(CASE WHEN mark AND rnc = 1 THEN 1 ELSE 0 END) OVER () AS cnt_comm,
+                         SUM(CASE WHEN mark AND rnb = 1 THEN 1 ELSE 0 END) OVER () AS cnt_blk
+                  FROM (
+                    SELECT *,
+                           CASE WHEN cand THEN {gain} END AS gain,
+                           ROW_NUMBER() OVER (PARTITION BY mark, vcomm ORDER BY vid) AS rnc,
+                           ROW_NUMBER() OVER (PARTITION BY mark, vblk ORDER BY vid) AS rnb
+                    FROM (
+                      SELECT *, (SELECT mm FROM sc) AS mm,
+                             (SELECT nn * (nn - 1) / 2.0 FROM sc) AS poss,
+                             (SELECT mm / (nn * (nn - 1) / 2.0) FROM sc) AS pp
+                      FROM (
+                        SELECT *,
+                               CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                         AND comm_dst <> cu THEN TRUE ELSE FALSE END AS cand,
+                               CASE WHEN nid < vid THEN hi_cn ELSE lo_cn END AS cn_dst,
+                               CASE WHEN nid < vid THEN hi_cm ELSE lo_cm END AS cm_dst,
+                               SUM(CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                        THEN w ELSE 0 END) OVER (PARTITION BY comm_dst) AS w_to_c
+                        FROM (
+                          SELECT *,
+                                 MAX(CASE WHEN NOT mark AND nid < vid THEN cn_src END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_cn,
+                                 MAX(CASE WHEN NOT mark AND nid > vid THEN cn_src END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_cn,
+                                 MAX(CASE WHEN NOT mark AND nid < vid THEN cm_src END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_cm,
+                                 MAX(CASE WHEN NOT mark AND nid > vid THEN cm_src END)
+                                   OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_cm,
+                                 MAX(CASE WHEN vcomm = cu THEN cn_src END) OVER () AS cn_cu,
+                                 MAX(CASE WHEN vcomm = cu THEN cm_src END) OVER () AS cm_cu,
+                                 SUM(CASE WHEN mark AND vblk = u THEN 1.0 ELSE 0 END) OVER () AS s,
+                                 SUM(CASE WHEN NOT mark AND vblk = u AND blk_dst = u
+                                          THEN w ELSE 0 END) OVER () / 2.0 AS sw,
+                                 SUM(CASE WHEN NOT mark AND vblk = u AND blk_dst <> u
+                                               AND comm_dst = cu THEN w ELSE 0 END) OVER () AS w_to_cu,
+                                 SUM(CASE WHEN NOT mark AND comm_dst = vcomm THEN w ELSE 0 END)
+                                   OVER () / 2.0 AS m_in,
+                                 SUM(CASE WHEN mark AND rn1 = 1
+                                          THEN cn_src * (cn_src - 1) / 2.0 END) OVER () AS poss_in
+                          FROM (
+                            SELECT *,
+                                   SUM(CASE WHEN mark THEN 1.0 END)
+                                     OVER (PARTITION BY vcomm) AS cn_src,
+                                   SUM(CASE WHEN NOT mark AND comm_dst = vcomm THEN w ELSE 0 END)
+                                     OVER (PARTITION BY vcomm) / 2.0 AS cm_src,
+                                   ROW_NUMBER() OVER (PARTITION BY mark, vcomm ORDER BY vid) AS rn1
+                            FROM (
+                              SELECT *,
+                                     MAX(CASE WHEN mark AND vblk = u THEN vcomm END) OVER () AS cu,
+                                     CASE WHEN nid < vid THEN hi_blk ELSE lo_blk END AS blk_dst,
+                                     CASE WHEN nid < vid THEN hi_comm ELSE lo_comm END AS comm_dst
+                              FROM (
+                                SELECT *,
+                                       MAX(CASE WHEN NOT mark AND nid < vid THEN vblk END)
+                                         OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_blk,
+                                       MAX(CASE WHEN NOT mark AND nid > vid THEN vblk END)
+                                         OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_blk,
+                                       MAX(CASE WHEN NOT mark AND nid < vid THEN vcomm END)
+                                         OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_comm,
+                                       MAX(CASE WHEN NOT mark AND nid > vid THEN vcomm END)
+                                         OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_comm,
+                                       MIN(CASE WHEN mark AND vpend THEN vblk END) OVER () AS u
+                                FROM (
+                                  SELECT a.nid, a.vid, a.w, a.mark,
+                                         it.blk AS vblk, it.comm AS vcomm, it.pend AS vpend,
+                                         it.pmoved AS vpmoved, it.iter
+                                  FROM it JOIN aug a ON it.id = a.nid
+                                  WHERE it.cont AND it.iter < 6000
+                                ) l0
+                              ) l1
+                            ) l2
+                          ) l3
+                        ) l4
+                      ) l5
+                    ) l6
+                  ) l7
+                ) l8
+              ) l9
+            ) l10
+            WHERE mark
+          ) l11
+        ),
+        fin AS (SELECT id, comm FROM it WHERE iter = (SELECT MAX(iter) FROM it)),
+        sizes AS (SELECT comm AS old, COUNT(*) AS n FROM fin GROUP BY 1),
+        mapping AS (SELECT old, ROW_NUMBER() OVER (ORDER BY n DESC, old ASC) AS newc FROM sizes)
+        SELECT fin.id, CAST(mapping.newc AS BIGINT) AS comm
+        FROM fin JOIN mapping ON fin.comm = mapping.old
+        ORDER BY id
+    """
+
+
 def _kclique_oracle() -> str:
     """3-clique percolation as a recursive-CTE connected-components run
     (ref src/kclique_percolation.jl:1-24). Reformulated on the
@@ -2148,6 +2322,8 @@ def oracle_sql() -> dict[str, str]:
         "louvain_cpm_local": _louvain_local_oracle("cpm"),
         "louvain_rber_local": _louvain_local_oracle("rber"),
         "infomap_local": _infomap_local_oracle(),
+        "louvain_significance_local": _setbased_local_oracle("significance"),
+        "louvain_surprise_local": _setbased_local_oracle("surprise"),
         "kclique": _kclique_oracle(),
         "lpa_shard_async": _lpa_shard_oracle(),
         "kclique3_counts": f"""
