@@ -708,6 +708,22 @@ def q_infomap_directed(spark, sf_dir):
     return infomap_directed(_orders_edges(spark, sf_dir)).membership
 
 
+def q_infomap_directed_local(spark, sf_dir):
+    """Full directed Infomap with teleportation (tau=0.15) on the
+    partkey<=60 slice treated as a directed arc table — the engine's
+    whole pipeline (reference-semantics PageRank visit probs to
+    pr_tol=1e-10, flows f=p*t, dangling iso masses, the driver-local
+    exact greedy of _local_infomap_directed; ref
+    src/DiFlowPartition.jl:218-302 + src/DiFlowGraph.jl:50-85) is
+    replayed by _infomap_directed_local_oracle: a PageRank recursive
+    CTE (bit-matching the engine solver to ~1e-17 on this slice) feeds
+    a second recursive CTE that replays the greedy one visit per
+    iteration. The full-graph q_infomap_directed stays rows-only."""
+    from communitydetection_jl_spark.operators.infomap import infomap_directed
+
+    return infomap_directed(_part_edges_cap(spark, sf_dir)).membership
+
+
 def q_kclique(spark, sf_dir):
     """3-clique percolation cover on the part graph (CPM; reference
     kclique_percolation, src/kclique_percolation.jl:1-24)."""
@@ -802,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap": q_infomap,
         "infomap_local": q_infomap_local,
         "infomap_directed": q_infomap_directed,
+        "infomap_directed_local": q_infomap_directed_local,
         "kclique": q_kclique,
         "kclique3_counts": q_kclique3_counts,
         "lang_prf": q_lang_prf,
@@ -1683,6 +1700,250 @@ def _setbased_local_oracle(objective: str) -> str:
     """
 
 
+def _infomap_directed_local_oracle() -> str:
+    """Directed Infomap with teleportation replayed end to end: a
+    PageRank recursive CTE (the _pagerank_full_oracle loop at
+    tol=1e-10 — matches the engine solver to ~1e-17 on this slice)
+    produces visit probabilities; flows f = p * (w/odeg), dangling
+    nodes carry iso = p; then the one-visit-per-iteration interpreter
+    replays _local_infomap_directed (operators/infomap.py:424-531)
+    with the DiFlowPartition exit-probability deltas: per-community
+    (size, p, iso, out-flow) masses from marker/arc windows, each
+    directed arc mirrored into an out row and an in row so both
+    f_to (outgoing) and g_from (incoming) candidate flows are window
+    sums, and q_c / sum_q recomputed from scratch per visit via the
+    q_c = tau*frac*p_c + (1-tau)*(out_c + frac*iso_c) formula.
+    MINIMIZE with eps=1e-12 grouping. The feeder CTEs are
+    MATERIALIZED — without it DuckDB re-executes the entire PageRank
+    recursion on every greedy iteration (~10x slowdown). Valid for
+    canonical single-direction arc tables (one arc per unordered
+    pair), which _part_edges_cap guarantees; a bidirectional pair
+    would put 4 rows in a transport partition."""
+    return f"""
+
+        WITH RECURSIVE
+        e AS ({_PART_EDGES_CAP_SQL}),
+        od AS (SELECT src AS id, COUNT(*) AS odeg FROM e GROUP BY 1),
+        v AS (SELECT DISTINCT id FROM
+                (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+        vd AS (SELECT v.id, COALESCE(od.odeg, 0) AS odeg FROM v LEFT JOIN od USING (id)),
+        nnc AS (SELECT COUNT(*) * 1.0 AS n,
+                       SUM(CASE WHEN odeg = 0 THEN 1 ELSE 0 END) * 1.0 AS ndang FROM vd),
+        prarcs AS (SELECT e.src, e.dst, 1.0 / od.odeg AS t, FALSE AS mark, FALSE AS dang
+                   FROM e JOIN od ON e.src = od.id
+                   UNION ALL
+                   SELECT id, id, 0.0, TRUE, odeg = 0 FROM vd),
+        pr AS (
+          SELECT 0 AS k, id, 1.0 / (SELECT n FROM nnc) AS p,
+                 (SELECT ndang FROM nnc) / (SELECT n FROM nnc) AS dm,
+                 1e18 AS delta
+          FROM vd
+          UNION ALL
+          SELECT k, id, p,
+                 SUM(CASE WHEN isdang THEN p ELSE 0 END) OVER () AS dm,
+                 SUM(ABS(p - p_old)) OVER () AS delta
+          FROM (
+            SELECT id, k + 1 AS k,
+                   0.15 / (SELECT n FROM nnc) + 0.85 * dm / (SELECT n FROM nnc)
+                     + 0.85 * msg AS p,
+                   p_old, isdang
+            FROM (
+              SELECT a.dst AS id,
+                     MAX(CASE WHEN a.mark THEN pr.k END) AS k,
+                     SUM(CASE WHEN NOT a.mark THEN a.t * pr.p ELSE 0 END) AS msg,
+                     MAX(CASE WHEN a.mark THEN pr.p END) AS p_old,
+                     BOOL_OR(a.mark AND a.dang) AS isdang,
+                     MAX(CASE WHEN a.mark THEN pr.dm END) AS dm
+              FROM pr JOIN prarcs a ON pr.id = a.src
+              WHERE pr.delta > 1e-10 AND pr.k < 100
+              GROUP BY a.dst) lvl) nxt
+        ),
+        prf AS MATERIALIZED (SELECT id, p FROM pr WHERE k = (SELECT MAX(k) FROM pr)),
+        flows AS MATERIALIZED (SELECT e.src, e.dst, prf.p * (e.weight / od.odeg) AS f
+                  FROM e JOIN od ON e.src = od.id JOIN prf ON prf.id = e.src
+                  WHERE e.src <> e.dst),
+        nodemass AS MATERIALIZED (SELECT vd.id, prf.p,
+                            CASE WHEN vd.odeg = 0 THEN prf.p ELSE 0.0 END AS iso
+                     FROM vd JOIN prf ON prf.id = vd.id),
+        aug AS MATERIALIZED (SELECT src AS nid, dst AS vid, f, TRUE AS is_out,
+                       CAST(NULL AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS iso,
+                       FALSE AS mark FROM flows
+                UNION ALL
+                SELECT dst, src, f, FALSE,
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), FALSE FROM flows
+                UNION ALL
+                SELECT id, id, CAST(NULL AS DOUBLE), FALSE, p, iso, TRUE FROM nodemass),
+        it AS (
+          SELECT id, CAST(id AS BIGINT) AS blk, CAST(id AS BIGINT) AS comm,
+                 TRUE AS pend, FALSE AS pmoved,
+                 CAST(0 AS BIGINT) AS iter, TRUE AS cont
+          FROM vd
+          UNION ALL
+          SELECT id, blk, comm, pend, pmoved, iter, BOOL_OR(go) OVER () AS cont
+          FROM (
+            SELECT vid AS id,
+                   CASE WHEN u IS NULL AND NOT vpmoved AND shrunk THEN vcomm ELSE vblk END AS blk,
+                   vcomm2 AS comm,
+                   CASE WHEN u IS NULL THEN (vpmoved OR shrunk) OR vpend
+                        ELSE (vpend AND vblk <> u) END AS pend,
+                   CASE WHEN u IS NULL THEN FALSE
+                        ELSE (vpmoved OR moved) END AS pmoved,
+                   iter + 1 AS iter,
+                   CASE WHEN u IS NULL AND NOT vpmoved AND NOT shrunk THEN FALSE
+                        ELSE TRUE END AS go
+            FROM (
+              SELECT *,
+                     CASE WHEN visit AND accept AND vblk = u THEN winner ELSE vcomm END AS vcomm2,
+                     (visit AND accept) AS moved
+              FROM (
+                SELECT *,
+                       (u IS NOT NULL) AS visit,
+                       (dstar IS NOT NULL AND dstar < -1e-12) AS accept,
+                       MIN(CASE WHEN cand AND d < dstar + 1e-12 THEN comm_dst END) OVER () AS winner,
+                       (cnt_comm < cnt_blk) AS shrunk
+                FROM (
+                  SELECT *,
+                         MIN(CASE WHEN cand THEN d END) OVER () AS dstar,
+                         SUM(CASE WHEN mark AND rnc = 1 THEN 1 ELSE 0 END) OVER () AS cnt_comm,
+                         SUM(CASE WHEN mark AND rnb = 1 THEN 1 ELSE 0 END) OVER () AS cnt_blk
+                  FROM (
+                    SELECT *,
+                           CASE WHEN cand THEN (
+            CASE WHEN sq2 > 0 THEN (sq2) * LN(sq2) ELSE 0.0 END - CASE WHEN sum_q > 0 THEN (sum_q) * LN(sum_q) ELSE 0.0 END
+            - 2.0 * (CASE WHEN q_cu2 > 0 THEN (q_cu2) * LN(q_cu2) ELSE 0.0 END + CASE WHEN q_c2 > 0 THEN (q_c2) * LN(q_c2) ELSE 0.0 END - CASE WHEN q_cuv > 0 THEN (q_cuv) * LN(q_cuv) ELSE 0.0 END - CASE WHEN q_cv > 0 THEN (q_cv) * LN(q_cv) ELSE 0.0 END)
+            + CASE WHEN q_cu2 + cp_cu - pu > 0 THEN (q_cu2 + cp_cu - pu) * LN(q_cu2 + cp_cu - pu) ELSE 0.0 END + CASE WHEN q_c2 + cp_dst + pu > 0 THEN (q_c2 + cp_dst + pu) * LN(q_c2 + cp_dst + pu) ELSE 0.0 END
+            - CASE WHEN q_cuv + cp_cu > 0 THEN (q_cuv + cp_cu) * LN(q_cuv + cp_cu) ELSE 0.0 END - CASE WHEN q_cv + cp_dst > 0 THEN (q_cv + cp_dst) * LN(q_cv + cp_dst) ELSE 0.0 END
+        ) END AS d,
+                           ROW_NUMBER() OVER (PARTITION BY mark, vcomm ORDER BY vid, is_out) AS rnc,
+                           ROW_NUMBER() OVER (PARTITION BY mark, vblk ORDER BY vid, is_out) AS rnb
+                    FROM (
+                      SELECT *,
+                             sum_q + (q_cu2 - q_cuv) + (q_c2 - q_cv) AS sq2
+                      FROM (
+                        SELECT *,
+                               0.15 * frac_cu2 * (cp_cu - pu)
+                                 + 0.85 * (out_cu2 + frac_cu2 * (ciso_cu - isou)) AS q_cu2,
+                               0.15 * frac_c2 * (cp_dst + pu)
+                                 + 0.85 * (out_c2 + frac_c2 * (ciso_dst + isou)) AS q_c2,
+                               (0.15 * ((nn - cn_cu) / nn) * cp_cu + 0.85 * (cout_cu + ((nn - cn_cu) / nn) * ciso_cu)) AS q_cuv,
+                               (0.15 * ((nn - cn_dst) / nn) * cp_dst + 0.85 * (cout_dst + ((nn - cn_dst) / nn) * ciso_dst)) AS q_cv
+                        FROM (
+                          SELECT *,
+                                 cout_cu - (fu - f_ucu) + g_cuu AS out_cu2,
+                                 cout_dst + (fu - f_uc) - g_cu AS out_c2,
+                                 (nn - (cn_cu - s)) / nn AS frac_cu2,
+                                 (nn - (cn_dst + s)) / nn AS frac_c2
+                          FROM (
+                            SELECT *,
+                                   CASE WHEN NOT mark AND ublk = u AND blk_dst <> u
+                                             AND comm_dst <> cu THEN TRUE ELSE FALSE END AS cand,
+                                   COALESCE(SUM(CASE WHEN NOT mark AND is_out AND ublk = u
+                                                     AND blk_dst <> u THEN f END)
+                                     OVER (PARTITION BY comm_dst), 0.0) AS f_uc,
+                                   COALESCE(SUM(CASE WHEN NOT mark AND NOT is_out AND ublk = u
+                                                     AND blk_dst <> u THEN f END)
+                                     OVER (PARTITION BY comm_dst), 0.0) AS g_cu,
+                                   CASE WHEN nid < vid THEN hi_cn ELSE lo_cn END AS cn_dst,
+                                   CASE WHEN nid < vid THEN hi_cp ELSE lo_cp END AS cp_dst,
+                                   CASE WHEN nid < vid THEN hi_ci ELSE lo_ci END AS ciso_dst,
+                                   CASE WHEN nid < vid THEN hi_co ELSE lo_co END AS cout_dst
+                            FROM (
+                              SELECT *,
+                                     MAX(CASE WHEN NOT mark AND nid < vid THEN cn_src END)
+                                       OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_cn,
+                                     MAX(CASE WHEN NOT mark AND nid > vid THEN cn_src END)
+                                       OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_cn,
+                                     MAX(CASE WHEN NOT mark AND nid < vid THEN cp_src END)
+                                       OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_cp,
+                                     MAX(CASE WHEN NOT mark AND nid > vid THEN cp_src END)
+                                       OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_cp,
+                                     MAX(CASE WHEN NOT mark AND nid < vid THEN ciso_src END)
+                                       OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_ci,
+                                     MAX(CASE WHEN NOT mark AND nid > vid THEN ciso_src END)
+                                       OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_ci,
+                                     MAX(CASE WHEN NOT mark AND nid < vid THEN cout_src END)
+                                       OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_co,
+                                     MAX(CASE WHEN NOT mark AND nid > vid THEN cout_src END)
+                                       OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_co,
+                                     MAX(CASE WHEN vcomm = cu THEN cn_src END) OVER () AS cn_cu,
+                                     MAX(CASE WHEN vcomm = cu THEN cp_src END) OVER () AS cp_cu,
+                                     MAX(CASE WHEN vcomm = cu THEN ciso_src END) OVER () AS ciso_cu,
+                                     MAX(CASE WHEN vcomm = cu THEN cout_src END) OVER () AS cout_cu,
+                                     SUM(CASE WHEN mark AND ublk = u THEN 1.0 ELSE 0 END) OVER () AS s,
+                                     SUM(CASE WHEN mark AND ublk = u THEN p ELSE 0 END) OVER () AS pu,
+                                     SUM(CASE WHEN mark AND ublk = u THEN iso ELSE 0 END) OVER () AS isou,
+                                     SUM(CASE WHEN NOT mark AND is_out AND ublk = u AND blk_dst <> u
+                                              THEN f ELSE 0 END) OVER () AS fu,
+                                     COALESCE(SUM(CASE WHEN NOT mark AND is_out AND ublk = u
+                                                       AND blk_dst <> u AND comm_dst = cu
+                                                       THEN f END) OVER (), 0.0) AS f_ucu,
+                                     COALESCE(SUM(CASE WHEN NOT mark AND NOT is_out AND ublk = u
+                                                       AND blk_dst <> u AND comm_dst = cu
+                                                       THEN f END) OVER (), 0.0) AS g_cuu,
+                                     SUM(CASE WHEN mark AND rn1 = 1 THEN
+                                         (0.15 * ((nn - cn_src) / nn) * cp_src + 0.85 * (cout_src + ((nn - cn_src) / nn) * ciso_src))
+                                         END) OVER () AS sum_q
+                              FROM (
+                                SELECT *,
+                                       SUM(CASE WHEN mark THEN 1.0 END)
+                                         OVER (PARTITION BY vcomm) AS cn_src,
+                                       SUM(CASE WHEN mark THEN p END)
+                                         OVER (PARTITION BY vcomm) AS cp_src,
+                                       SUM(CASE WHEN mark THEN iso END)
+                                         OVER (PARTITION BY vcomm) AS ciso_src,
+                                       COALESCE(SUM(CASE WHEN NOT mark AND is_out AND comm_dst <> vcomm
+                                                         THEN f END)
+                                         OVER (PARTITION BY vcomm), 0.0) AS cout_src,
+                                       ROW_NUMBER() OVER (PARTITION BY mark, vcomm ORDER BY vid, is_out) AS rn1
+                                FROM (
+                                  SELECT *,
+                                         MAX(CASE WHEN mark AND ublk = u THEN vcomm END) OVER () AS cu,
+                                         CASE WHEN nid < vid THEN hi_blk ELSE lo_blk END AS blk_dst,
+                                         CASE WHEN nid < vid THEN hi_comm ELSE lo_comm END AS comm_dst
+                                  FROM (
+                                    SELECT *,
+                                           MAX(CASE WHEN NOT mark AND nid < vid THEN vblk END)
+                                             OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_blk,
+                                           MAX(CASE WHEN NOT mark AND nid > vid THEN vblk END)
+                                             OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_blk,
+                                           MAX(CASE WHEN NOT mark AND nid < vid THEN vcomm END)
+                                             OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS lo_comm,
+                                           MAX(CASE WHEN NOT mark AND nid > vid THEN vcomm END)
+                                             OVER (PARTITION BY mark, LEAST(nid, vid), GREATEST(nid, vid)) AS hi_comm,
+                                           MIN(CASE WHEN mark AND vpend THEN vblk END) OVER () AS u,
+                                           vblk AS ublk,
+                                           (SELECT n FROM nnc) AS nn
+                                    FROM (
+                                      SELECT a.nid, a.vid, a.f, a.is_out, a.p, a.iso, a.mark,
+                                             it.blk AS vblk, it.comm AS vcomm, it.pend AS vpend,
+                                             it.pmoved AS vpmoved, it.iter
+                                      FROM it JOIN aug a ON it.id = a.nid
+                                      WHERE it.cont AND it.iter < 6000
+                                    ) l0
+                                  ) l1
+                                ) l2
+                              ) l3
+                            ) l4
+                          ) l5
+                        ) l6
+                      ) l7
+                    ) l8
+                  ) l9
+                ) l10
+              ) l11
+            ) l12
+            WHERE mark
+          ) l13
+        ),
+        fin AS (SELECT id, comm FROM it WHERE iter = (SELECT MAX(iter) FROM it)),
+        sizes AS (SELECT comm AS old, COUNT(*) AS n FROM fin GROUP BY 1),
+        mapping AS (SELECT old, ROW_NUMBER() OVER (ORDER BY n DESC, old ASC) AS newc FROM sizes)
+        SELECT fin.id, CAST(mapping.newc AS BIGINT) AS comm
+        FROM fin JOIN mapping ON fin.comm = mapping.old
+        ORDER BY id
+    """
+
+
 def _kclique_oracle() -> str:
     """3-clique percolation as a recursive-CTE connected-components run
     (ref src/kclique_percolation.jl:1-24). Reformulated on the
@@ -2324,6 +2585,7 @@ def oracle_sql() -> dict[str, str]:
         "infomap_local": _infomap_local_oracle(),
         "louvain_significance_local": _setbased_local_oracle("significance"),
         "louvain_surprise_local": _setbased_local_oracle("surprise"),
+        "infomap_directed_local": _infomap_directed_local_oracle(),
         "kclique": _kclique_oracle(),
         "lpa_shard_async": _lpa_shard_oracle(),
         "kclique3_counts": f"""
