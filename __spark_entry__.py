@@ -764,6 +764,95 @@ def q_lang_prf(spark, sf_dir):
     )
 
 
+def q_media_image(spark, sf_dir):
+    """Real image-codec path end to end: per doc_id, synthesize a PPM
+    whose pixels follow a closed-form integer formula, push the bytes
+    through a binary column, decode with the pure-NumPy codec
+    (functions/codecs.py), and report dimensions + channel means. The
+    oracle recomputes the means directly from the pixel formula, so an
+    encoder/decoder bug cannot cancel out."""
+    import numpy as np
+    import pandas as pd
+
+    from communitydetection_jl_spark.functions import codecs
+    from communitydetection_jl_spark.operators.multimodal import decode_media
+
+    def make(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(7 * xx + 13 * yy + i) % 256,
+                     (3 * xx + 5 * yy + 2 * i) % 256,
+                     (11 * xx + yy + 3 * i) % 256], axis=2).astype(np.uint8)
+                ids.append(i)
+                payloads.append(codecs.encode_ppm(img))
+            yield pd.DataFrame({"media_id": ids, "kind": "image",
+                                "payload": payloads})
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(make, "media_id long, kind string, payload binary")
+    )
+    return _r6(
+        decode_media(media).select(
+            F.col("media_id").alias("id"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("mean_rgb")[0].alias("mean_r"),
+            F.col("mean_rgb")[1].alias("mean_g"),
+            F.col("mean_rgb")[2].alias("mean_b"),
+        ),
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+def q_media_audio(spark, sf_dir):
+    """Real audio-codec path end to end: per doc_id, synthesize an
+    integer triangle-wave PCM16 WAV (integer-only math so the SQL oracle
+    is bit-identical), decode with the hand-rolled RIFF parser, and
+    report rate/frames/duration/RMS."""
+    import numpy as np
+    import pandas as pd
+
+    from communitydetection_jl_spark.functions import codecs
+    from communitydetection_jl_spark.operators.multimodal import decode_media
+
+    def make(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                p = 50 + 2 * (i % 13)
+                n = 400 + (i % 5) * 80
+                k = np.arange(n, dtype=np.int64)
+                s = (np.abs(2 * (k % p) - p) * 12000) // p - 6000
+                ids.append(i)
+                payloads.append(codecs.encode_wav(s.astype(np.int16), 8000))
+            yield pd.DataFrame({"media_id": ids, "kind": "audio",
+                                "payload": payloads})
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(make, "media_id long, kind string, payload binary")
+    )
+    return _r6(
+        decode_media(media).select(
+            F.col("media_id").alias("id"),
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.col("n_frames").alias("n_frames"),
+            F.col("duration").alias("duration"),
+            F.col("rms").alias("rms"),
+        ),
+        "duration", "rms",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": q_degrees,
@@ -822,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kclique": q_kclique,
         "kclique3_counts": q_kclique3_counts,
         "lang_prf": q_lang_prf,
+        "media_image": q_media_image,
+        "media_audio": q_media_audio,
     }
 
 
@@ -940,6 +1031,49 @@ def _lang_prf_oracle() -> str:
                ROUND(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
                           ELSE 0.0 END, 6) AS f_beta
         FROM pr
+    """
+
+
+def _media_image_oracle() -> str:
+    """Closed-form recomputation of q_media_image: the engine builds a
+    PPM from pixel formula r=(7x+13y+id)%256 g=(3x+5y+2id)%256
+    b=(11x+y+3id)%256 at w=8+id%9, h=8+id%7 and decodes it back; the
+    oracle averages the formula directly (never touching bytes), so the
+    whole encode→binary-column→decode path is independently checked."""
+    return """
+        WITH d AS (SELECT doc_id AS id,
+                          8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+                   FROM documents),
+        nums AS (SELECT UNNEST(range(0, 17)) AS i),
+        px AS (SELECT d.id, d.w, d.h, xs.i AS x, ys.i AS y
+               FROM d CROSS JOIN nums xs CROSS JOIN nums ys
+               WHERE xs.i < d.w AND ys.i < d.h)
+        SELECT id, MAX(w) AS width, MAX(h) AS height,
+               ROUND(AVG((7*x + 13*y + id) % 256), 6) AS mean_r,
+               ROUND(AVG((3*x + 5*y + 2*id) % 256), 6) AS mean_g,
+               ROUND(AVG((11*x + y + 3*id) % 256), 6) AS mean_b
+        FROM px GROUP BY id
+    """
+
+
+def _media_audio_oracle() -> str:
+    """Closed-form recomputation of q_media_audio's triangle-wave WAV:
+    integer-only sample math (abs(2(k%p)-p)*12000//p - 6000) makes the
+    DuckDB samples bit-identical to the int16 payload the engine's RIFF
+    parser decodes."""
+    return """
+        WITH d AS (SELECT doc_id AS id,
+                          50 + 2 * (doc_id % 13) AS p,
+                          400 + (doc_id % 5) * 80 AS n
+                   FROM documents),
+        ks AS (SELECT UNNEST(range(0, 720)) AS k),
+        s AS (SELECT d.id, d.n,
+                     (ABS(2 * (ks.k % d.p) - d.p) * 12000) // d.p - 6000 AS smp
+              FROM d JOIN ks ON ks.k < d.n)
+        SELECT id, CAST(8000 AS BIGINT) AS sample_rate, MAX(n) AS n_frames,
+               ROUND(MAX(n) / 8000.0, 6) AS duration,
+               ROUND(SQRT(AVG(POWER(smp / 32768.0, 2))), 6) AS rms
+        FROM s GROUP BY id
     """
 
 
@@ -2572,6 +2706,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle(),
         "lang_id": _lang_id_oracle(),
         "lang_prf": _lang_prf_oracle(),
+        "media_image": _media_image_oracle(),
+        "media_audio": _media_audio_oracle(),
         "map_equation": _map_equation_oracle(),
         "slpa": _slpa_oracle(),
         "hlpa": _hlpa_oracle(),

@@ -1,0 +1,291 @@
+"""Pure-stdlib/NumPy media codecs: PPM (P6), BMP (24bpp), PNG (8-bit),
+WAV (PCM16).
+
+The container ships no codec libraries (PIL/ffmpeg/librosa), but these
+four formats are decodable from their public specs with nothing beyond
+``zlib``/``struct``/NumPy — which turns the engine's multimodal path
+from a stub into a real decode stage. Everything here is
+batch-friendly: decoders take ``bytes`` and return NumPy arrays, and
+are called from Arrow-batched ``mapInPandas`` operators
+(operators/multimodal.py), never from per-row Python UDFs.
+
+Scope (documented, asserted):
+- PPM: binary P6, maxval 255, ``#`` comments in header.
+- BMP: BITMAPINFOHEADER, 24bpp BI_RGB, top-down or bottom-up.
+- PNG: bit depth 8, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
+  no interlace; all five scanline filters (None/Sub/Up/Average/Paeth).
+- WAV: RIFF/WAVE, PCM (format 1), 16-bit; hand-parsed chunk walk (no
+  ``wave`` module in the decoder, so stdlib-``wave``-written files act
+  as an independent test oracle).
+
+Video has no pure-stdlib format; it remains behind the documented
+NotImplementedError boundary in operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ----------------------------------------------------------------- PPM --
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"PPM wants (H, W, 3), got {a.shape}")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8. Handles comments/whitespace."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic + 3 ASCII ints separated by whitespace/comments,
+    # terminated by exactly one whitespace byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+# ----------------------------------------------------------------- BMP --
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24bpp bottom-up BI_RGB BMP."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"BMP wants (H, W, 3), got {a.shape}")
+    h, w = a.shape[:2]
+    row_len = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pixel_data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                       2835, 2835, 0, 0)
+    return header + info + pixel_data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24bpp BI_RGB BMP → (H, W, 3) uint8 RGB (top-down or bottom-up)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp BI_RGB supported (bpp={bpp}, comp={compression})")
+    h = abs(h_signed)
+    row_len = (w * 3 + 3) & ~3
+    raster = np.frombuffer(data, dtype=np.uint8, count=h * row_len, offset=off)
+    rows = raster.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    if h_signed > 0:  # bottom-up
+        rgb = rgb[::-1]
+    return rgb.copy()
+
+
+# ----------------------------------------------------------------- PNG --
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W) gray / (H, W, 3) RGB / (H, W, 4) RGBA uint8 → PNG
+    (bit depth 8, filter 0 on every scanline)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, ch = 0, 1
+        flat = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (3, 4):
+        color_type = 2 if a.shape[2] == 3 else 6
+        ch = a.shape[2]
+        flat = a
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scan = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 1:] = flat.reshape(h, w * ch)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _unfilter_scanlines(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Invert PNG scanline filtering. raw is (h, 1 + w*ch) uint8 where
+    column 0 is the per-row filter type."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — vectorized, no horizontal dependency
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth recur on the pixel ch bytes to the left;
+            # per-byte loop along x (h is the batch axis; images in the
+            # multimodal path are thumbnails, and a real cluster swaps
+            # in a native codec behind the same operator signature)
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG (8-bit gray/RGB/RGBA, non-interlaced) → uint8 array
+    (H, W) for gray, else (H, W, C)."""
+    if data[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, w = len(_PNG_MAGIC), 0
+    h = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    ch = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + w * ch)
+    pixels = _unfilter_scanlines(raw, h, w, ch)
+    arr = pixels.reshape(h, w, ch)
+    return arr[:, :, 0].copy() if ch == 1 else arr.copy()
+
+
+# ----------------------------------------------------------------- WAV --
+
+
+def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    """int16 samples (flat, interleaved if multichannel) → PCM16 WAV."""
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(s)) + s)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """PCM16 WAV → (sample_rate, n_channels, int16 array of shape
+    (n_frames, channels)). Hand-parsed RIFF chunk walk — independent of
+    the stdlib ``wave`` writer, so wave-encoded files are a true oracle."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = channels = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag, length = struct.unpack_from("<4sI", data, pos)
+        body_off = pos + 8
+        pos = body_off + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", data, body_off)
+            bits = struct.unpack_from("<H", data, body_off + 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+        elif tag == b"data":
+            pcm = np.frombuffer(data, dtype="<i2", count=length // 2, offset=body_off)
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    frames = len(pcm) // channels
+    return rate, channels, pcm[: frames * channels].reshape(frames, channels).copy()
+
+
+# ----------------------------------------------------------- dispatch --
+
+
+def sniff_format(payload: bytes) -> str:
+    """Magic-byte format sniffing for the decode dispatcher."""
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Any supported image format → (H, W, 3) uint8 RGB."""
+    fmt = sniff_format(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "png":
+        arr = decode_png(payload)
+        if arr.ndim == 2:
+            return np.repeat(arr[:, :, None], 3, axis=2)
+        return arr[:, :, :3].copy()  # drop alpha
+    raise ValueError(f"unsupported image format: {fmt}")
+
+
+def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize, fully vectorized (index gather)."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(th) * h) // th, h - 1)
+    xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return arr[ys][:, xs]

@@ -1,12 +1,16 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary.
+"""Multimodal columns: image/audio/video as opaque binary.
 
-The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual codec work is STUBBED —
-the decode libraries (PIL/ffmpeg/librosa) are not in this container.
-``deterministic_fake=True`` (default in tests) replaces decoding with a
-seeded hash-derived feature so pipelines are end-to-end testable;
-``deterministic_fake=False`` raises NotImplementedError at the decode
-boundary, which is exactly where a real codec plugs in.
+Images (PPM/BMP/PNG) and audio (PCM16 WAV) are REALLY decoded — the
+pure-stdlib/NumPy codecs in functions/codecs.py need no container
+libraries. Decoding runs inside Arrow-batched ``mapInPandas``
+(payload bytes never round-trip through Python row objects); features
+are fixed-dim so the output schema is stable for downstream ANN/dedup.
+
+Video remains the one honest stub: no pure-stdlib video format exists,
+so ``deterministic_fake=False`` raises NotImplementedError for video
+payloads — exactly where ffmpeg would plug in. The legacy
+``deterministic_fake=True`` mode (hash-derived features) is kept for
+plumbing tests and for payloads in formats outside the codec scope.
 
 Media table shape::
 
@@ -17,12 +21,15 @@ Media table shape::
 from __future__ import annotations
 
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -51,6 +58,35 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_media_real(spark: SparkSession, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL payloads: seeded gradient+noise
+    images encoded as PPM/BMP/PNG round-robin and sine-mix PCM16 WAVs."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    encoders = [codecs.encode_ppm, codecs.encode_bmp, codecs.encode_png]
+    for i in range(n):
+        if i % 4 < 3:
+            h, w = 12 + i % 9, 16 + i % 13
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 7 + i) % 256, (yy * 13 + 2 * i) % 256,
+                 rng.integers(0, 256, (h, w))],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append((i, "image", bytearray(encoders[i % 3](img)),
+                         {"src": f"synth/{i}"}))
+        else:
+            rate = 8000
+            t = np.arange(rate // 10 + 40 * (i % 5)) / rate
+            freq = 220.0 * (1 + i % 7)
+            samples = np.floor(9000 * np.sin(2 * np.pi * freq * t)
+                               + 3000 * np.sin(2 * np.pi * 2.5 * freq * t)
+                               + 0.5).astype(np.int16)
+            rows.append((i, "audio", bytearray(codecs.encode_wav(samples, rate)),
+                         {"src": f"synth/{i}"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, kind: str, feat_dim: int) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a real codec: features derived from
     the payload bytes only, so results are stable across runs/executors."""
@@ -64,6 +100,55 @@ def _fake_decode(payload: bytes, kind: str, feat_dim: int) -> tuple[int, int, in
     return width, height, n_frames, feature.tolist()
 
 
+def image_feature(img: np.ndarray, grid: int = 4) -> list[float]:
+    """(H, W, 3) uint8 → grid×grid×3 mean-pool in [0, 1] — a fixed-dim,
+    roughly resolution-invariant color-layout embedding (48 floats for
+    grid=4), ready for the ANN/near-dup operators."""
+    h, w = img.shape[:2]
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    feat = np.empty(grid * grid * 3, dtype=np.float32)
+    k = 0
+    for i in range(grid):
+        for j in range(grid):
+            cell = img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                       xs[j]:max(xs[j + 1], xs[j] + 1)]
+            feat[k:k + 3] = cell.reshape(-1, 3).mean(axis=0) / 255.0
+            k += 3
+    return feat.tolist()
+
+
+def audio_feature(pcm: np.ndarray, n_windows: int = 16) -> list[float]:
+    """(frames, channels) int16 → per-window RMS in [0, 1] (mono mix)."""
+    mono = pcm.astype(np.float64).mean(axis=1) / 32768.0
+    bounds = np.linspace(0, len(mono), n_windows + 1).astype(int)
+    return [
+        float(np.sqrt(np.mean(np.square(mono[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]))))
+        if len(mono) else 0.0
+        for i in range(n_windows)
+    ]
+
+
+def _real_decode(payload: bytes, kind: str, feat_dim: int) -> tuple[int, int, int, list[float]]:
+    """Codec-backed decode for image/audio; video has no pure-stdlib
+    codec and raises at the documented plug-in boundary."""
+    fmt = codecs.sniff_format(payload)
+    if fmt in ("ppm", "bmp", "png"):
+        img = codecs.decode_image(payload)
+        feat = image_feature(img)
+        feat = (feat + [0.0] * feat_dim)[:feat_dim]
+        return img.shape[1], img.shape[0], 1, feat
+    if fmt == "wav":
+        rate, _, pcm = codecs.decode_wav(payload)
+        feat = audio_feature(pcm)
+        feat = (feat + [0.0] * feat_dim)[:feat_dim]
+        return rate, pcm.shape[1], pcm.shape[0], feat
+    raise NotImplementedError(
+        f"no pure-stdlib codec for kind={kind} format={fmt}; "
+        "plug ffmpeg/PIL here (video and exotic formats)"
+    )
+
+
 def decode_features(
     media: DataFrame,
     feat_dim: int = 32,
@@ -75,19 +160,19 @@ def decode_features(
     mapInPandas over Arrow batches: payloads never round-trip through
     Python row objects; each batch is decoded vectorized. On a real
     cluster, repartition upstream so each task holds
-    O(batch_size_hint) payloads (media bytes dominate memory)."""
+    O(batch_size_hint) payloads (media bytes dominate memory).
+
+    ``deterministic_fake=False`` uses the real codecs
+    (functions/codecs.py) for PPM/BMP/PNG images and PCM16 WAV audio;
+    for audio, width=sample_rate, height=n_channels, n_frames=frames."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "kind": [], "width": [], "height": [],
                    "n_frames": [], "feature": []}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "real media decode requires codec libraries not in "
-                        "this container; plug PIL/ffmpeg here"
-                    )
-                w, h, nf, feat = _fake_decode(bytes(payload or b""), kind, feat_dim)
+                decode = _fake_decode if deterministic_fake else _real_decode
+                w, h, nf, feat = decode(bytes(payload or b""), kind, feat_dim)
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["width"].append(w)
@@ -97,6 +182,85 @@ def decode_features(
             yield pd.DataFrame(out)
 
     return media.select("media_id", "kind", "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, format string, width int, height int, "
+    "n_channels int, sample_rate int, n_frames long, duration double, "
+    "mean_rgb array<double>, rms double, feature array<float>, decoded boolean"
+)
+
+
+def decode_media(media: DataFrame, grid: int = 4, n_windows: int = 16) -> DataFrame:
+    """Full typed decode: media → per-item metadata + modality features.
+
+    Unsupported payloads (video, unknown formats) come back with
+    ``decoded=false`` and null metadata instead of failing the stage —
+    at 100 TB a poisonous payload must not kill the pipeline; the
+    undecodable rows stay joinable for quarantine/retry."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                fmt = codecs.sniff_format(raw)
+                base = dict(media_id=mid, kind=kind, format=fmt, width=None,
+                            height=None, n_channels=None, sample_rate=None,
+                            n_frames=None, duration=None, mean_rgb=None,
+                            rms=None, feature=None, decoded=False)
+                try:
+                    if fmt in ("ppm", "bmp", "png"):
+                        img = codecs.decode_image(raw)
+                        base.update(
+                            width=img.shape[1], height=img.shape[0],
+                            n_channels=3, n_frames=1,
+                            mean_rgb=[float(x) for x in
+                                      img.reshape(-1, 3).mean(axis=0)],
+                            feature=image_feature(img, grid), decoded=True)
+                    elif fmt == "wav":
+                        rate, ch, pcm = codecs.decode_wav(raw)
+                        mono = pcm.astype(np.float64).mean(axis=1) / 32768.0
+                        base.update(
+                            n_channels=ch, sample_rate=rate,
+                            n_frames=pcm.shape[0],
+                            duration=pcm.shape[0] / rate,
+                            rms=float(np.sqrt(np.mean(np.square(mono))))
+                            if len(mono) else 0.0,
+                            feature=audio_feature(pcm, n_windows), decoded=True)
+                except (ValueError, struct_error):
+                    pass  # malformed payload → decoded=False quarantine row
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(op, DECODED_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Real pixel resize (nearest-neighbor, aspect-preserving, never
+    upscales) → (media_id, width, height, payload) re-encoded as PPM."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                if codecs.sniff_format(raw) not in ("ppm", "bmp", "png"):
+                    continue
+                img = codecs.decode_image(raw)
+                h, w = img.shape[:2]
+                scale = min(1.0, max_side / max(h, w))
+                tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+                small = codecs.resize_nearest(img, tw, th)
+                out["media_id"].append(mid)
+                out["width"].append(tw)
+                out["height"].append(th)
+                out["payload"].append(codecs.encode_ppm(small))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(op, "media_id long, width int, height int, payload binary")
 
 
 def frame_sample(media: DataFrame, every_n: int = 10, deterministic_fake: bool = True) -> DataFrame:
