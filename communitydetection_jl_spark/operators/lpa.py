@@ -255,33 +255,55 @@ def label_propagation(
         state = loop.resume()
     start_iter = loop.iteration if state is not None else 0
     if state is None:
-        if init_labels is not None:
-            labels0 = init_labels.select(
-                "id", F.col(init_labels.columns[1]).alias("lbl")
-            )
-        else:
-            labels0 = vertices_of(edges).select("id", F.col("id").alias("lbl"))
         # deg rides in the state so each superstep can OBSERVE
         # sum(deg of movers) — an upper bound on the next active set,
         # gating the frontier broadcast safely even with hub vertices
-        if csr:
-            degs = (
-                sym.select(F.explode("srcs").alias("id"))
-                .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+        if csr and init_labels is None:
+            # the symmetrized CSR's speaker keys ARE the vertex set and
+            # listener degree == speaker degree == sum of array sizes,
+            # so the whole state init is ONE n-row agg on the bucketed
+            # table (zero exchange) — previously a 2m-row explode +
+            # shuffle plus a 2m-row vertex distinct, the two most
+            # expensive stages of the warmup superstep
+            state0 = (
+                sym.groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.size("srcs")).cast("long").alias("deg"))
+                .select(
+                    "id",
+                    F.col("id").alias("lbl"),
+                    F.lit(True).alias("changed"),
+                    F.lit(False).alias("wants"),
+                    "deg",
+                )
             )
+            state = loop.init(state0)
         else:
-            degs = sym.groupBy(F.col("src").alias("id")).agg(
-                F.count(F.lit(1)).alias("deg")
+            if init_labels is not None:
+                labels0 = init_labels.select(
+                    "id", F.col(init_labels.columns[1]).alias("lbl")
+                )
+            else:
+                labels0 = vertices_of(edges).select(
+                    "id", F.col("id").alias("lbl")
+                )
+            if csr:
+                degs = (
+                    sym.groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum(F.size("srcs")).cast("long").alias("deg"))
+                )
+            else:
+                degs = sym.groupBy(F.col("src").alias("id")).agg(
+                    F.count(F.lit(1)).alias("deg")
+                )
+            state = loop.init(
+                labels0.join(degs, "id", "left").select(
+                    "id",
+                    "lbl",
+                    F.lit(True).alias("changed"),
+                    F.lit(False).alias("wants"),
+                    F.coalesce("deg", F.lit(0)).alias("deg"),
+                )
             )
-        state = loop.init(
-            labels0.join(degs, "id", "left").select(
-                "id",
-                "lbl",
-                F.lit(True).alias("changed"),
-                F.lit(False).alias("wants"),
-                F.coalesce("deg", F.lit(0)).alias("deg"),
-            )
-        )
 
     changed_history: list[int] = []
     it = start_iter

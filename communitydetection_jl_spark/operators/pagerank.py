@@ -43,7 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.graph import csr_adjacency, vertices_of
+from ..functions.graph import csr_adjacency
 from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
 from .degrees import trans_prob_directed
 
@@ -137,9 +137,20 @@ def pagerank(
         arcs = arcs_plan.repartition(P, "src").persist()
         arcs.count()
 
-    verts = vertices_of(edges)
-    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    # derive vertices and out-degrees from the materialized CSR instead
+    # of re-scanning + re-shuffling the raw edge pairs: outdeg is a
+    # zero-exchange agg on the bucketed arcs table (sum of array sizes
+    # per src key), and vertex discovery reads the (smaller) CSR file
+    adj_col = "dsts" if uniform else "nbrs"
+    outdeg = arcs.groupBy(F.col("src").alias("id")).agg(
+        F.sum(F.size(adj_col)).cast("long").alias("outdeg")
+    )
+    exploded = arcs.select(F.explode(adj_col).alias("_e"))
+    verts = (
+        arcs.select(F.col("src").alias("id"))
+        .unionByName(exploded.select(
+            (F.col("_e") if uniform else F.col("_e.dst")).alias("id")))
+        .distinct()
     )
 
     state = None
