@@ -853,6 +853,36 @@ def q_media_audio(spark, sf_dir):
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_windows(spark, sf_dir):
+    """Tumbling-window per-type event rollup (batch form of the
+    streaming twin in streaming/windows.py)."""
+    from communitydetection_jl_spark.operators.events import windowed_counts
+
+    return _r6(windowed_counts(_events(spark, sf_dir), 600), "total_value")
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based per-user sessionization (lag/cumsum windows
+    partitioned by user — no global sort)."""
+    from communitydetection_jl_spark.operators.events import sessionize
+
+    return _r6(
+        sessionize(_events(spark, sf_dir), 1800),
+        "start_ts", "end_ts", "duration", "total_value",
+    )
+
+
+def q_events_props(spark, sf_dir):
+    """JSON property stats per event type (get_json_object, JVM-side)."""
+    from communitydetection_jl_spark.operators.events import props_stats
+
+    return _r6(props_stats(_events(spark, sf_dir)), "avg_k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": q_degrees,
@@ -913,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_prf": q_lang_prf,
         "media_image": q_media_image,
         "media_audio": q_media_audio,
+        "events_windows": q_events_windows,
+        "events_sessions": q_events_sessions,
+        "events_props": q_events_props,
     }
 
 
@@ -2708,6 +2741,43 @@ def oracle_sql() -> dict[str, str]:
         "lang_prf": _lang_prf_oracle(),
         "media_image": _media_image_oracle(),
         "media_audio": _media_audio_oracle(),
+        "events_windows": """
+            SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS total_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS tse
+                       FROM events),
+            f AS (SELECT *,
+                         CASE WHEN LAG(tse) OVER w IS NULL THEN 1
+                              WHEN tse - LAG(tse) OVER w > 1800 THEN 1
+                              ELSE 0 END AS nw
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)),
+            s AS (SELECT user_id, value, tse,
+                         CAST(SUM(nw) OVER (PARTITION BY user_id
+                                            ORDER BY tse, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS session_idx
+                  FROM f)
+            SELECT user_id, session_idx,
+                   ROUND(MIN(tse), 6) AS start_ts,
+                   ROUND(MAX(tse), 6) AS end_ts,
+                   ROUND(MAX(tse) - MIN(tse), 6) AS duration,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM s GROUP BY 1, 2
+        """,
+        "events_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+                   CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY 1
+        """,
         "map_equation": _map_equation_oracle(),
         "slpa": _slpa_oracle(),
         "hlpa": _hlpa_oracle(),

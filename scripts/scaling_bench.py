@@ -202,7 +202,15 @@ def main() -> None:
         "Full JSON: `BENCH/scaling.json`.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # the deployment/resume evidence section is maintained by hand —
+    # carry it across regenerations instead of dropping it
+    prev_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "## Deployment / resume check"
+    if os.path.exists(prev_path):
+        prev = open(prev_path).read()
+        if marker in prev:
+            lines.append(prev[prev.index(marker):])
+    with open(prev_path, "w") as f:
         f.write("\n".join(lines))
     print(json.dumps(report["scaling_efficiency"]))
 
