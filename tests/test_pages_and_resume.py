@@ -92,3 +92,51 @@ def test_pagerank_resume_from_checkpoint(spark, tmp_path, pages):
     b = {r.id: r.pagerank for r in resumed.ranks.collect()}
     for k in a:
         assert b[k] == pytest.approx(a[k], abs=1e-6)
+
+
+def test_lpa_resume_from_checkpoint(spark, tmp_path, pages):
+    """Mid-algorithm resume for LPA: run A stops early with snapshots,
+    run B resumes from the latest snapshot and must converge to the
+    SAME labels as an uninterrupted run (semi-sync LPA is deterministic,
+    so resume-equivalence is exact)."""
+    from communitydetection_jl_spark.operators.lpa import lpa
+
+    edges = restrict_to_corpus(extract_edges(pages), url_dim(latest_captures(pages)))
+    edges = edges.localCheckpoint(eager=True)
+
+    full = lpa(edges, max_iter=40)
+
+    ledgerA = RunLedger(str(tmp_path / "runs"), run_id="lpa1", snapshot_every=2)
+    partial = lpa(edges, max_iter=4, ledger=ledgerA)
+    assert partial.iterations == 4
+
+    ledgerB = RunLedger(str(tmp_path / "runs"), run_id="lpa1", snapshot_every=2)
+    resumed = lpa(edges, max_iter=40, ledger=ledgerB)
+    assert resumed.iterations > 4  # continued from iteration 4's snapshot
+
+    a = {r.id: r.comm for r in full.labels.collect()}
+    b = {r.id: r.comm for r in resumed.labels.collect()}
+    assert a == b
+
+
+def test_components_resume_from_checkpoint(spark, tmp_path, pages):
+    """Mid-algorithm resume for connected components: exact component
+    ids after resuming the large-star/small-star loop."""
+    from communitydetection_jl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = restrict_to_corpus(extract_edges(pages), url_dim(latest_captures(pages)))
+    edges = edges.localCheckpoint(eager=True)
+
+    full = {r.id: r.comp for r in connected_components(edges).collect()}
+
+    ledgerA = RunLedger(str(tmp_path / "runs"), run_id="cc1", snapshot_every=1)
+    connected_components(edges, max_rounds=2, ledger=ledgerA)
+
+    ledgerB = RunLedger(str(tmp_path / "runs"), run_id="cc1", snapshot_every=1)
+    resumed = {
+        r.id: r.comp
+        for r in connected_components(edges, ledger=ledgerB).collect()
+    }
+    assert resumed == full
