@@ -853,6 +853,98 @@ def q_media_audio(spark, sf_dir):
     )
 
 
+def _video_media(spark, sf_dir):
+    """Deterministic AVI payloads keyed by doc_id: frames follow the
+    synth_media_video pixel formula r=(7x+13y+5t+id)%256 etc. over
+    w=8+id%9, h=8+id%7, n_frames=4+id%13, fps=5+id%7 — so DuckDB can
+    recompute any frame statistic without touching bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from communitydetection_jl_spark.functions import codecs
+
+    def make(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, nf = 8 + i % 9, 8 + i % 7, 4 + i % 13
+                tt, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+                frames = np.stack(
+                    [(7 * xx + 13 * yy + 5 * tt + i) % 256,
+                     (3 * xx + 5 * yy + 11 * tt + 2 * i) % 256,
+                     (11 * xx + yy + 7 * tt + 3 * i) % 256],
+                    axis=3).astype(np.uint8)
+                ids.append(i)
+                payloads.append(codecs.encode_avi(frames, fps=5 + i % 7))
+            yield pd.DataFrame({"media_id": ids, "kind": "video",
+                                "payload": payloads})
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(make, "media_id long, kind string, payload binary")
+    )
+
+
+def q_media_video(spark, sf_dir):
+    """Real video-codec path end to end: synthesize uncompressed AVI
+    ('DIB ' frames) per doc_id, decode with the hand-rolled RIFF walker
+    (functions/codecs.py), and report dimensions, frame count, fps,
+    duration and whole-clip channel means. The oracle recomputes the
+    means from the pixel formula, so encoder/decoder bugs cannot
+    cancel out."""
+    from communitydetection_jl_spark.operators.multimodal import decode_media
+
+    return _r6(
+        decode_media(_video_media(spark, sf_dir)).select(
+            F.col("media_id").alias("id"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("n_frames").alias("n_frames"),
+            F.col("sample_rate").cast("long").alias("fps"),
+            F.col("duration").alias("duration"),
+            F.col("mean_rgb")[0].alias("mean_r"),
+            F.col("mean_rgb")[1].alias("mean_g"),
+            F.col("mean_rgb")[2].alias("mean_b"),
+        ),
+        "duration", "mean_r", "mean_g", "mean_b",
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    """Video→image handoff end to end: sample every 5th frame out of
+    the AVI payloads (sample_frames re-encodes each as PPM), decode the
+    PPM rows through the image path, and report per-frame channel
+    means. Exercises AVI decode → frame sampling → PPM encode → image
+    decode; the oracle recomputes each sampled frame's means from the
+    pixel formula at t=frame_idx."""
+    from communitydetection_jl_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    frames = sample_frames(_video_media(spark, sf_dir), every_n=5)
+    # composite key: frame_idx < 100, so id*100+frame_idx is reversible
+    imgs = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        "payload",
+    )
+    return _r6(
+        decode_media(imgs).select(
+            F.floor(F.col("media_id") / 100).cast("long").alias("id"),
+            (F.col("media_id") % 100).cast("long").alias("frame_idx"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("mean_rgb")[0].alias("mean_r"),
+            F.col("mean_rgb")[1].alias("mean_g"),
+            F.col("mean_rgb")[2].alias("mean_b"),
+        ),
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -943,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_prf": q_lang_prf,
         "media_image": q_media_image,
         "media_audio": q_media_audio,
+        "media_video": q_media_video,
+        "media_frames": q_media_frames,
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
         "events_props": q_events_props,
@@ -1086,6 +1180,54 @@ def _media_image_oracle() -> str:
                ROUND(AVG((3*x + 5*y + 2*id) % 256), 6) AS mean_g,
                ROUND(AVG((11*x + y + 3*id) % 256), 6) AS mean_b
         FROM px GROUP BY id
+    """
+
+
+def _media_video_oracle() -> str:
+    """Closed-form recomputation of q_media_video: whole-clip channel
+    means over (x, y, t) of the synth pixel formula — DuckDB never sees
+    the AVI bytes, so the RIFF encode→decode path is independently
+    checked."""
+    return """
+        WITH d AS (SELECT doc_id AS id,
+                          8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                          4 + doc_id % 13 AS nf, 5 + doc_id % 7 AS fps
+                   FROM documents),
+        nums AS (SELECT UNNEST(range(0, 17)) AS i),
+        px AS (SELECT d.id, d.w, d.h, d.nf, d.fps, xs.i AS x, ys.i AS y, ts.i AS t
+               FROM d CROSS JOIN nums xs CROSS JOIN nums ys CROSS JOIN nums ts
+               WHERE xs.i < d.w AND ys.i < d.h AND ts.i < d.nf)
+        SELECT id, MAX(w) AS width, MAX(h) AS height,
+               MAX(nf) AS n_frames, MAX(fps) AS fps,
+               ROUND(MAX(nf) / CAST(MAX(fps) AS DOUBLE), 6) AS duration,
+               ROUND(AVG((7*x + 13*y + 5*t + id) % 256), 6) AS mean_r,
+               ROUND(AVG((3*x + 5*y + 11*t + 2*id) % 256), 6) AS mean_g,
+               ROUND(AVG((11*x + y + 7*t + 3*id) % 256), 6) AS mean_b
+        FROM px GROUP BY id
+    """
+
+
+def _media_frames_oracle() -> str:
+    """Closed-form recomputation of q_media_frames: per sampled frame
+    (t = 0, 5, 10, ...), channel means over (x, y) at that t."""
+    return """
+        WITH d AS (SELECT doc_id AS id,
+                          8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                          4 + doc_id % 13 AS nf
+                   FROM documents),
+        nums AS (SELECT UNNEST(range(0, 17)) AS i),
+        fr AS (SELECT d.id, d.w, d.h, ts.i AS t
+               FROM d CROSS JOIN nums ts
+               WHERE ts.i < d.nf AND ts.i % 5 = 0),
+        px AS (SELECT fr.id, fr.t, fr.w, fr.h, xs.i AS x, ys.i AS y
+               FROM fr CROSS JOIN nums xs CROSS JOIN nums ys
+               WHERE xs.i < fr.w AND ys.i < fr.h)
+        SELECT id, CAST(t AS BIGINT) AS frame_idx,
+               MAX(w) AS width, MAX(h) AS height,
+               ROUND(AVG((7*x + 13*y + 5*t + id) % 256), 6) AS mean_r,
+               ROUND(AVG((3*x + 5*y + 11*t + 2*id) % 256), 6) AS mean_g,
+               ROUND(AVG((11*x + y + 7*t + 3*id) % 256), 6) AS mean_b
+        FROM px GROUP BY id, t
     """
 
 
@@ -2741,6 +2883,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_prf": _lang_prf_oracle(),
         "media_image": _media_image_oracle(),
         "media_audio": _media_audio_oracle(),
+        "media_video": _media_video_oracle(),
+        "media_frames": _media_frames_oracle(),
         "events_windows": """
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
                    event_type,

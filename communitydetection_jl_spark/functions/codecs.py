@@ -1,5 +1,5 @@
 """Pure-stdlib/NumPy media codecs: PPM (P6), BMP (24bpp), PNG (8-bit),
-WAV (PCM16).
+WAV (PCM16), AVI (uncompressed 24bpp 'DIB ' video).
 
 The container ships no codec libraries (PIL/ffmpeg/librosa), but these
 four formats are decodable from their public specs with nothing beyond
@@ -17,9 +17,10 @@ Scope (documented, asserted):
 - WAV: RIFF/WAVE, PCM (format 1), 16-bit; hand-parsed chunk walk (no
   ``wave`` module in the decoder, so stdlib-``wave``-written files act
   as an independent test oracle).
-
-Video has no pure-stdlib format; it remains behind the documented
-NotImplementedError boundary in operators/multimodal.py.
+- AVI: RIFF/'AVI ', single 'vids' stream, uncompressed 24bpp BI_RGB
+  ('DIB ') frames — the same bottom-up padded-BGR raster as BMP, one
+  '00db' chunk per frame. Compressed codecs (MJPEG/H.264) stay behind
+  the documented plug-in boundary in operators/multimodal.py.
 """
 
 from __future__ import annotations
@@ -252,6 +253,120 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     return rate, channels, pcm[: frames * channels].reshape(frames, channels).copy()
 
 
+# ----------------------------------------------------------------- AVI --
+
+
+def _dib_raster(frame: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → raw DIB raster (bottom-up, BGR, 4-byte
+    row padding) — identical layout to the BMP pixel block."""
+    h, w = frame.shape[:2]
+    row_len = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _undib_raster(raw: bytes, w: int, h: int) -> np.ndarray:
+    row_len = (w * 3 + 3) & ~3
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * row_len).reshape(h, row_len)
+    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+def _riff_list(tag: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + tag + body
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(N, H, W, 3) uint8 RGB → uncompressed AVI ('DIB ' / BI_RGB
+    24bpp), one '00db' chunk per frame plus an idx1 index. The output
+    is a spec-conformant file any standard player decodes."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError(f"AVI wants (N, H, W, 3), got {fr.shape}")
+    n, h, w = fr.shape[:3]
+    frame_bytes = ((w * 3 + 3) & ~3) * h
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        frame_bytes * fps,         # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # AVIF_HASINDEX
+        n, 0, 1,                   # totalframes, initialframes, streams
+        frame_bytes,               # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0,
+        0,                         # dwInitialFrames
+        1, fps,                    # dwScale, dwRate → fps frames/sec
+        0, n,                      # dwStart, dwLength (frames)
+        frame_bytes, 0xFFFFFFFF & -1, 0,  # bufsize, quality(-1), samplesize
+        0, 0, w, h,                # rcFrame
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       2835, 2835, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    idx = b""
+    for i in range(n):
+        # idx1 offsets point at the chunk fourcc, relative to the
+        # 'movi' fourcc position (movi_body starts at that fourcc)
+        idx += struct.pack("<4sIII", b"00db", 0x10, len(movi_body), frame_bytes)
+        movi_body += _riff_chunk(b"00db", _dib_raster(fr[i]))
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
+    """Uncompressed 24bpp AVI → (fps, (N, H, W, 3) uint8 RGB). RIFF
+    chunk walk over hdrl (strh/strf for rate + dimensions) and movi
+    ('00db'/'00dc' raw DIB frames); idx1 is not required."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = 0
+    scale, rate = 1, 10
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, scale, rate
+        pos = start
+        while pos + 8 <= end:
+            tag, length = struct.unpack_from("<4sI", data, pos)
+            body_off = pos + 8
+            pos = body_off + length + (length & 1)
+            if tag == b"LIST":
+                walk(body_off + 4, body_off + length)
+            elif tag == b"strh":
+                fcc_type, _fcc, _fl, _pr, _la, _init, s, r = struct.unpack_from(
+                    "<4s4sIHHIII", data, body_off)
+                if fcc_type == b"vids":
+                    scale, rate = max(1, s), max(1, r)
+            elif tag == b"strf" and w == 0:
+                _sz, bw, bh, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", data, body_off)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"only uncompressed 24bpp AVI supported (bpp={bpp}, comp={comp})")
+                w, h = bw, abs(bh)
+            elif tag in (b"00db", b"00dc") and w:
+                frames.append(_undib_raster(data[body_off:body_off + length], w, h))
+
+    walk(12, len(data))
+    if not w or not frames:
+        raise ValueError("missing video stream or frames")
+    return rate // scale, np.stack(frames)
+
+
 # ----------------------------------------------------------- dispatch --
 
 
@@ -265,6 +380,8 @@ def sniff_format(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 

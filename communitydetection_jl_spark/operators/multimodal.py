@@ -6,11 +6,14 @@ libraries. Decoding runs inside Arrow-batched ``mapInPandas``
 (payload bytes never round-trip through Python row objects); features
 are fixed-dim so the output schema is stable for downstream ANN/dedup.
 
-Video remains the one honest stub: no pure-stdlib video format exists,
-so ``deterministic_fake=False`` raises NotImplementedError for video
-payloads — exactly where ffmpeg would plug in. The legacy
-``deterministic_fake=True`` mode (hash-derived features) is kept for
-plumbing tests and for payloads in formats outside the codec scope.
+Video is decoded for real too, for uncompressed 24bpp AVI ('DIB '
+frames — functions/codecs.py): frame sampling, per-frame features and
+the video→image handoff (``sample_frames`` re-encodes sampled frames
+as PPM rows) all run on actual pixels. Compressed codecs (MJPEG/H.264)
+raise NotImplementedError at the documented boundary — exactly where
+ffmpeg would plug in. The legacy ``deterministic_fake=True`` mode
+(hash-derived features) is kept for plumbing tests and for payloads in
+formats outside the codec scope.
 
 Media table shape::
 
@@ -87,6 +90,39 @@ def synth_media_real(spark: SparkSession, n: int = 48, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_media_video(spark: SparkSession, n: int = 16, seed: int = 42) -> DataFrame:
+    """Deterministic real-AVI media table: per media_id, frames follow
+    the closed-form pixel formula r=(7x+13y+5t+id)%256,
+    g=(3x+5y+11t+2id)%256, b=(11x+y+7t+3id)%256 over
+    w=8+id%9, h=8+id%7, n_frames=4+id%13 at fps=5+id%7 — so an
+    oracle can recompute any frame statistic without touching bytes."""
+    rows = []
+    for i in range(n):
+        w, h, nf = 8 + i % 9, 8 + i % 7, 4 + i % 13
+        tt, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+        frames = np.stack(
+            [(7 * xx + 13 * yy + 5 * tt + i) % 256,
+             (3 * xx + 5 * yy + 11 * tt + 2 * i) % 256,
+             (11 * xx + yy + 7 * tt + 3 * i) % 256], axis=3).astype(np.uint8)
+        rows.append((i, "video",
+                     bytearray(codecs.encode_avi(frames, fps=5 + i % 7)),
+                     {"src": f"synth/{i}"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def video_feature(frames: np.ndarray, n_buckets: int = 8) -> list[float]:
+    """(N, H, W, 3) uint8 → per-time-bucket mean RGB in [0, 1]
+    (n_buckets×3 floats): a fixed-dim color-motion trajectory embedding
+    compatible with the ANN/near-dup operators regardless of length."""
+    n = frames.shape[0]
+    bounds = np.linspace(0, n, n_buckets + 1).astype(int)
+    feat = np.empty(n_buckets * 3, dtype=np.float32)
+    for i in range(n_buckets):
+        chunk = frames[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+        feat[3 * i:3 * i + 3] = chunk.reshape(-1, 3).mean(axis=0) / 255.0
+    return feat.tolist()
+
+
 def _fake_decode(payload: bytes, kind: str, feat_dim: int) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a real codec: features derived from
     the payload bytes only, so results are stable across runs/executors."""
@@ -143,9 +179,14 @@ def _real_decode(payload: bytes, kind: str, feat_dim: int) -> tuple[int, int, in
         feat = audio_feature(pcm)
         feat = (feat + [0.0] * feat_dim)[:feat_dim]
         return rate, pcm.shape[1], pcm.shape[0], feat
+    if fmt == "avi":
+        _fps, frames = codecs.decode_avi(payload)
+        feat = video_feature(frames)
+        feat = (feat + [0.0] * feat_dim)[:feat_dim]
+        return frames.shape[2], frames.shape[1], frames.shape[0], feat
     raise NotImplementedError(
         f"no pure-stdlib codec for kind={kind} format={fmt}; "
-        "plug ffmpeg/PIL here (video and exotic formats)"
+        "plug ffmpeg/PIL here (compressed video and exotic formats)"
     )
 
 
@@ -218,6 +259,16 @@ def decode_media(media: DataFrame, grid: int = 4, n_windows: int = 16) -> DataFr
                             mean_rgb=[float(x) for x in
                                       img.reshape(-1, 3).mean(axis=0)],
                             feature=image_feature(img, grid), decoded=True)
+                    elif fmt == "avi":
+                        fps, frames = codecs.decode_avi(raw)
+                        base.update(
+                            width=frames.shape[2], height=frames.shape[1],
+                            n_channels=3, sample_rate=fps,  # frames/sec
+                            n_frames=frames.shape[0],
+                            duration=frames.shape[0] / max(1, fps),
+                            mean_rgb=[float(x) for x in
+                                      frames.reshape(-1, 3).mean(axis=0)],
+                            feature=video_feature(frames), decoded=True)
                     elif fmt == "wav":
                         rate, ch, pcm = codecs.decode_wav(raw)
                         mono = pcm.astype(np.float64).mean(axis=1) / 32768.0
@@ -263,9 +314,47 @@ def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
     ).mapInPandas(op, "media_id long, width int, height int, payload binary")
 
 
+def sample_frames(media: DataFrame, every_n: int = 10, max_side: int | None = None) -> DataFrame:
+    """Real video frame sampling: decode AVI payloads, keep every
+    ``every_n``-th frame (optionally resized), re-encode each as PPM →
+    (media_id, frame_idx, width, height, payload). The output rows are
+    ordinary image payloads, so the whole image pipeline (decode_media,
+    resize_images, image features → ANN/dedup) composes downstream.
+    Non-AVI video payloads are skipped (quarantine via decode_media)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [],
+                   "height": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                if codecs.sniff_format(raw) != "avi":
+                    continue
+                _fps, frames = codecs.decode_avi(raw)
+                for idx in range(0, frames.shape[0], every_n):
+                    img = frames[idx]
+                    if max_side is not None:
+                        h, w = img.shape[:2]
+                        scale = min(1.0, max_side / max(h, w))
+                        img = codecs.resize_nearest(
+                            img, max(1, round(w * scale)), max(1, round(h * scale)))
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["payload"].append(codecs.encode_ppm(img))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(
+        op, "media_id long, frame_idx int, width int, height int, payload binary")
+
+
 def frame_sample(media: DataFrame, every_n: int = 10, deterministic_fake: bool = True) -> DataFrame:
-    """video → (media_id, frame_idx) sampled frame indices. Decode is
-    stubbed; the plumbing (filter by kind, explode frames) is real."""
+    """video → (media_id, frame_idx) sampled frame indices.
+    ``deterministic_fake=False`` reads real frame counts from AVI
+    payloads; ``sample_frames`` above returns the actual pixels."""
     feats = decode_features(media.filter(F.col("kind") == "video"),
                             deterministic_fake=deterministic_fake)
     return feats.select(
