@@ -595,6 +595,45 @@ def q_lsh_near_vectors(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard verify over the MinHash-LSH candidate set
+    (the standard two-stage near-dup pipeline: banded LSH proposes,
+    exact shingle-set Jaccard confirms). Every stage — shingle, band,
+    bucket, candidate, set intersection — is reproduced in the DuckDB
+    oracle."""
+    from communitydetection_jl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(docs, threshold=0.7, base_hash="md5").select(
+        "id_a", "id_b"
+    )
+    return _r6(ngram_jaccard_pairs(docs, cand), "jaccard")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF/multi-probe ANN over double-cast embeddings: coarse quantize
+    by 8 seeded hyperplane sign bits, probe own bucket + hamming-1
+    neighbors, exact cosine re-rank. Double-cast inputs make the
+    signatures and cosines bit-identical in DuckDB, so bucket structure
+    AND ranking are exactly reproducible in SQL."""
+    from communitydetection_jl_spark.operators.ann import ivf_topk
+
+    vec = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = vec.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(vec, queries, dim=64, k=10, bits=8, probe_hamming=1)
+    return out.select(
+        "q_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 4).alias("cosine_r"),
+    )
+
+
 def q_lpa_shard_async(spark, sf_dir):
     """Reference-semantics (async within shard) LPA, in the
     deterministic oracle mode: portable shard fn (id % 32), ascending
@@ -1019,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_significance_local": q_louvain_significance_local,
         "louvain_surprise_local": q_louvain_surprise_local,
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_ivf": q_ann_ivf,
         "simhash_pairs": q_simhash_pairs,
         "lsh_near_vectors": q_lsh_near_vectors,
         "lpa_shard_async": q_lpa_shard_async,
@@ -1049,10 +1090,10 @@ _NORM_SQL = r"TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))"
 _MD5_60 = "('0x'||SUBSTRING(MD5({x}),1,15))::BIGINT"
 
 
-def _minhash_oracle() -> str:
-    """MinHash+LSH pairs, md5 base-hash mode: the identical shingle →
-    (a·h+b) mod p → band → bucket → verify pipeline in ANSI SQL, with
-    the same seeded coefficients inlined as literals."""
+def _minhash_cte_prefix() -> str:
+    """Shared CTE chain for the MinHash-family oracles: shingle →
+    md5 base hash → (a·h+b) mod p permutations → band → capped bucket →
+    candidate pairs, with the engine's seeded coefficients inlined."""
     from communitydetection_jl_spark.operators.dedup import minhash_coeffs
 
     a, b = minhash_coeffs(64, 42)
@@ -1073,7 +1114,14 @@ def _minhash_oracle() -> str:
         ok AS (SELECT band, bh FROM b GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
         bb AS (SELECT b.* FROM b JOIN ok USING (band, bh)),
         cand AS (SELECT DISTINCT la.id AS id_a, lb.id AS id_b
-                 FROM bb la JOIN bb lb USING (band, bh) WHERE la.id < lb.id),
+                 FROM bb la JOIN bb lb USING (band, bh) WHERE la.id < lb.id)"""
+
+
+def _minhash_oracle() -> str:
+    """MinHash+LSH pairs, md5 base-hash mode: the identical shingle →
+    (a·h+b) mod p → band → bucket → verify pipeline in ANSI SQL, with
+    the same seeded coefficients inlined as literals."""
+    return f"""{_minhash_cte_prefix()},
         est AS (SELECT c.id_a, c.id_b,
                        SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 64.0 AS ej
                 FROM cand c
@@ -1081,6 +1129,70 @@ def _minhash_oracle() -> str:
                 JOIN m mb ON mb.id = c.id_b AND mb.i = ma.i
                 GROUP BY 1, 2)
         SELECT id_a, id_b, ROUND(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.7
+    """
+
+
+def _jaccard_pairs_oracle() -> str:
+    """Exact shingle-set Jaccard over the MinHash-LSH candidates: the
+    same CTE chain up to ``cand``, then true set intersection — so the
+    two-stage propose/verify pipeline is checked end to end."""
+    return f"""{_minhash_cte_prefix()},
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS ni
+                  FROM cand c
+                  JOIN sh sa ON sa.id = c.id_a
+                  JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s
+                  GROUP BY 1, 2)
+        SELECT c.id_a, c.id_b,
+               ROUND(COALESCE(i.ni, 0)
+                     / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes na ON na.id = c.id_a
+        JOIN sizes nb ON nb.id = c.id_b
+    """
+
+
+def _ann_ivf_oracle() -> str:
+    """IVF/multi-probe ANN with the engine's 8 seeded hyperplanes
+    inlined as literals: signature, probe set (own bucket + hamming-1),
+    candidate join, exact cosine and rank all recomputed in SQL over
+    the same double-cast embeddings (bit-identical accumulation)."""
+    from communitydetection_jl_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+    plane_rows = ", ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(x)) for x in p))
+        for i, p in enumerate(planes)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(8)])
+    return f"""
+        WITH pl(i, pv) AS (VALUES {plane_rows}),
+        v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+        bits AS (SELECT v.id, pl.i,
+                        CASE WHEN list_inner_product(v.emb, pl.pv) > 0
+                             THEN (1::BIGINT << pl.i) ELSE 0 END AS b
+                 FROM v CROSS JOIN pl),
+        sig AS (SELECT id, SUM(b) AS sig FROM bits GROUP BY 1),
+        vs AS (SELECT v.id, v.emb, s.sig AS bucket FROM v JOIN sig s USING (id)),
+        q AS (SELECT v.id AS q_id, v.emb AS qe, s.sig
+              FROM v JOIN sig s USING (id) WHERE v.id < 5),
+        pr AS (SELECT q_id, qe, xor(sig, mm.m) AS bucket
+               FROM q CROSS JOIN (SELECT UNNEST([{masks}]) AS m) mm),
+        cand AS (SELECT DISTINCT pr.q_id, pr.qe, vs.id AS vec_id, vs.emb
+                 FROM pr JOIN vs USING (bucket)),
+        cos AS (SELECT q_id, vec_id,
+                       list_inner_product(emb, qe) /
+                       GREATEST(SQRT(list_inner_product(emb, emb))
+                                * SQRT(list_inner_product(qe, qe)), 1e-30) AS cosine
+                FROM cand)
+        SELECT q_id, vec_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+               ) AS BIGINT) AS rank,
+               ROUND(cosine, 4) AS cosine_r
+        FROM cos
+        QUALIFY rank <= 10
     """
 
 
@@ -2878,6 +2990,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS nid FROM v
         """,
         "minhash_pairs": _minhash_oracle(),
+        "jaccard_pairs": _jaccard_pairs_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "lang_id": _lang_id_oracle(),
         "lang_prf": _lang_prf_oracle(),
