@@ -343,6 +343,99 @@ def q_nmi_score(spark, sf_dir):
     return spark.createDataFrame([(round(nmi(ma, mb), 6),)], "nmi double")
 
 
+def q_visit_prob(spark, sf_dir):
+    """Undirected stationary visit probabilities (weighted degree /
+    2m; ref src/FlowGraph.jl:14-27)."""
+    from communitydetection_jl_spark.operators.degrees import visit_prob_undirected
+
+    out = visit_prob_undirected(_part_edges(spark, sf_dir))
+    return out.select("id", F.round("visit_prob", 9).alias("visit_prob"))
+
+
+def q_trans_prob_undirected(spark, sf_dir):
+    """Undirected per-edge transition probability w/2m
+    (ref src/FlowGraph.jl:30-35)."""
+    from communitydetection_jl_spark.operators.degrees import trans_prob_undirected
+
+    out = trans_prob_undirected(_part_edges(spark, sf_dir))
+    return out.select("src", "dst", F.round("trans_prob", 9).alias("trans_prob"))
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Per-community clustering coefficient over the community-internal
+    graph (ref src/metrics.jl:170-199): Σ triangles / Σ wedges."""
+    from communitydetection_jl_spark.operators.community_metrics import (
+        clustering_coefficient,
+    )
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    return _r6(clustering_coefficient(e, memb), "clustering_coefficient")
+
+
+def q_fomd_odf(spark, sf_dir):
+    """Per-community FOMD + the ODF family (max/average/flake)
+    (ref src/metrics.jl:146-168, 273-336), joined on comm — both share
+    the per-vertex internal/boundary degree table."""
+    from communitydetection_jl_spark.operators.community_metrics import fomd, odf
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    out = fomd(e, memb).join(odf(e, memb), "comm")
+    return _r6(out, "fomd", "max_odf", "average_odf", "flake_odf")
+
+
+def q_partition_compare(spark, sf_dir):
+    """One-row scalar panel of the partition comparators that are not
+    already individually oracled: Rand index, pair-Jaccard, Mirkin
+    metric, both partition entropies, and normalized VI
+    (ref src/metrics.jl:417-430, src/nmi.jl:65-127, src/utils.jl:55-91)."""
+    from communitydetection_jl_spark.operators.compare import (
+        jaccard_index,
+        mirkin_metric,
+        nvoi,
+        partition_entropy,
+        rand_index,
+    )
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ma = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    mb = p.select(
+        F.col("p_partkey").alias("id"),
+        F.substring(F.col("p_type"), 1, 6).alias("comm"),
+    )
+    row = (
+        round(rand_index(ma, mb), 6),
+        round(jaccard_index(ma, mb), 6),
+        round(mirkin_metric(ma, mb), 6),
+        round(partition_entropy(ma), 6),
+        round(partition_entropy(mb), 6),
+        round(nvoi(ma, mb), 6),
+    )
+    return spark.createDataFrame(
+        [row],
+        "rand double, pair_jaccard double, mirkin double, "
+        "entropy_a double, entropy_b double, nvoi double",
+    )
+
+
+def q_salted_degrees(spark, sf_dir):
+    """Skew-safe weighted degrees via the hub-salting two-level
+    aggregate (functions/salting.py): MUST equal the plain one-shot
+    groupBy — the oracle is exactly that plain aggregate, so this row
+    proves the salted path is a pure execution-strategy change."""
+    from communitydetection_jl_spark.functions.graph import symmetrize, with_weight
+    from communitydetection_jl_spark.functions.salting import two_level_agg
+
+    sym = symmetrize(with_weight(_part_edges(spark, sf_dir))).select(
+        F.col("src").alias("id"), "dst", "weight"
+    )
+    out = two_level_agg(sym, "id", "weight", n_salts=16)
+    return out.select("id", F.round("weight", 6).alias("strength"))
+
+
 def q_community_metrics(spark, sf_dir):
     from communitydetection_jl_spark.operators.community_metrics import community_metrics
 
@@ -1033,6 +1126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_score": q_modularity_score,
         "nmi_score": q_nmi_score,
         "community_metrics": q_community_metrics,
+        "visit_prob": q_visit_prob,
+        "trans_prob_undirected": q_trans_prob_undirected,
+        "clustering_coeff": q_clustering_coeff,
+        "fomd_odf": q_fomd_odf,
+        "partition_compare": q_partition_compare,
+        "salted_degrees": q_salted_degrees,
         "exact_dup_groups": q_exact_dup_groups,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -2946,6 +3045,93 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN ns <> 0 THEN CAST(cs AS DOUBLE) / ns END, 6) AS expansion,
                    ROUND(CASE WHEN cs <> 0 THEN CAST(ms AS DOUBLE) / cs END, 6) AS separability
             FROM k
+        """,
+        "visit_prob": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            mm AS (SELECT SUM(weight) AS m FROM e),
+            sym AS (SELECT src, weight FROM e UNION ALL SELECT dst, weight FROM e)
+            SELECT src AS id, ROUND(SUM(weight) / (2 * mm.m), 9) AS visit_prob
+            FROM sym, mm GROUP BY src, mm.m
+        """,
+        "trans_prob_undirected": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            mm AS (SELECT SUM(weight) AS m FROM e)
+            SELECT src, dst, ROUND(weight / (2 * mm.m), 9) AS trans_prob
+            FROM e, mm
+        """,
+        "clustering_coeff": f"""
+            WITH e0 AS ({_PART_EDGES_SQL}),
+            m AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+            e AS (SELECT e0.src, e0.dst
+                  FROM e0 JOIN m ma ON e0.src = ma.id JOIN m mb ON e0.dst = mb.id
+                  WHERE ma.comm = mb.comm),
+            sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+            cn AS (SELECT e.src, e.dst, COUNT(*) AS c
+                   FROM e JOIN sym s1 ON s1.src = e.src
+                          JOIN sym s2 ON s2.src = e.dst AND s2.dst = s1.dst
+                   GROUP BY e.src, e.dst),
+            v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+            inc AS (SELECT src AS id, c FROM cn UNION ALL SELECT dst AS id, c FROM cn),
+            t AS (SELECT id, SUM(c) / 2 AS t FROM inc GROUP BY 1),
+            deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+            perv AS (SELECT m.comm, COALESCE(t.t, 0) AS t, deg.d
+                     FROM v JOIN m USING (id)
+                     JOIN deg USING (id) LEFT JOIN t USING (id))
+            SELECT comm, ROUND(CAST(SUM(t) AS DOUBLE)
+                               / GREATEST(SUM(d * (d - 1) / 2.0), 1.0), 6)
+                   AS clustering_coefficient
+            FROM perv GROUP BY 1
+        """,
+        "fomd_odf": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            m AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+            j AS (SELECT e.src, e.dst, ma.comm AS cs, mb.comm AS cd
+                  FROM e JOIN m ma ON e.src = ma.id JOIN m mb ON e.dst = mb.id),
+            symj AS (SELECT src AS id, cs AS c, cd AS nc FROM j
+                     UNION ALL SELECT dst AS id, cd AS c, cs AS nc FROM j),
+            perv AS (SELECT id, c, COUNT(*) AS deg,
+                            SUM(CASE WHEN nc = c THEN 1 ELSE 0 END) AS int_deg
+                     FROM symj GROUP BY 1, 2),
+            med AS (SELECT quantile_cont(deg, 0.5) AS md FROM perv)
+            SELECT c AS comm,
+                   ROUND(AVG(CASE WHEN int_deg > med.md THEN 1.0 ELSE 0.0 END), 6) AS fomd,
+                   ROUND(MAX((deg - int_deg) / CAST(deg AS DOUBLE)), 6) AS max_odf,
+                   ROUND(AVG((deg - int_deg) / CAST(deg AS DOUBLE)), 6) AS average_odf,
+                   ROUND(AVG(CASE WHEN int_deg < deg * 0.5 THEN 1.0 ELSE 0.0 END), 6) AS flake_odf
+            FROM perv, med GROUP BY c, med.md
+        """,
+        "partition_compare": """
+            WITH ct AS (SELECT p_brand AS ca, SUBSTRING(p_type, 1, 6) AS cb,
+                               COUNT(*) AS nij FROM part GROUP BY 1, 2),
+            n AS (SELECT SUM(nij) AS n FROM ct),
+            na AS (SELECT ca, SUM(nij) AS c FROM ct GROUP BY 1),
+            nb AS (SELECT cb, SUM(nij) AS c FROM ct GROUP BY 1),
+            pc AS (SELECT (SELECT SUM(nij * (nij - 1) // 2) FROM ct) AS a11,
+                          (SELECT SUM(c * (c - 1) // 2) FROM na) AS sa,
+                          (SELECT SUM(c * (c - 1) // 2) FROM nb) AS sb,
+                          n.n * (n.n - 1) // 2 AS tot
+                   FROM n),
+            ha AS (SELECT -SUM((na.c / n.n) * LN(na.c / CAST(n.n AS DOUBLE))) AS h
+                   FROM na, n),
+            hb AS (SELECT -SUM((nb.c / n.n) * LN(nb.c / CAST(n.n AS DOUBLE))) AS h
+                   FROM nb, n),
+            iab AS (SELECT SUM((ct.nij / CAST(n.n AS DOUBLE)) *
+                               LN((ct.nij * CAST(n.n AS DOUBLE)) / (na.c * nb.c))) AS i
+                    FROM ct JOIN na USING (ca) JOIN nb USING (cb), n)
+            SELECT ROUND((pc.a11 + (pc.tot - pc.sa - pc.sb + pc.a11))
+                         / CAST(pc.tot AS DOUBLE), 6) AS rand,
+                   ROUND(pc.a11 / CAST(pc.sa + pc.sb - pc.a11 AS DOUBLE), 6) AS pair_jaccard,
+                   ROUND(2.0 * (pc.sa - pc.a11 + pc.sb - pc.a11), 6) AS mirkin,
+                   ROUND(ha.h, 6) AS entropy_a,
+                   ROUND(hb.h, 6) AS entropy_b,
+                   ROUND((ha.h + hb.h - 2 * iab.i) / LN(n.n), 6) AS nvoi
+            FROM pc, ha, hb, iab, n
+        """,
+        "salted_degrees": f"""
+            WITH e AS ({_PART_EDGES_SQL}),
+            sym AS (SELECT src, weight FROM e UNION ALL SELECT dst, weight FROM e)
+            SELECT src AS id, ROUND(SUM(weight), 6) AS strength
+            FROM sym GROUP BY 1
         """,
         "exact_dup_groups": r"""
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
