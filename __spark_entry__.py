@@ -421,6 +421,23 @@ def q_partition_compare(spark, sf_dir):
     )
 
 
+def q_rnmi(spark, sf_dir):
+    """Relative NMI (ref src/nmi.jl:194-213) in the md5 hash mode:
+    every shuffle permutation is the rank order of a 60-bit md5 key,
+    so the full ensemble — 5 label shuffles, 5 contingencies, their
+    NMIs and the mean — is replayed exactly by the DuckDB oracle."""
+    from communitydetection_jl_spark.operators.compare import rnmi
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ma = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    mb = p.select(
+        F.col("p_partkey").alias("id"),
+        F.substring(F.col("p_type"), 1, 6).alias("comm"),
+    )
+    v = rnmi(ma, mb, n_shuffles=5, seed=42, hash_mode="md5")
+    return spark.createDataFrame([(round(v, 6),)], "rnmi double")
+
+
 def q_salted_degrees(spark, sf_dir):
     """Skew-safe weighted degrees via the hub-salting two-level
     aggregate (functions/salting.py): MUST equal the plain one-shot
@@ -1131,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "fomd_odf": q_fomd_odf,
         "partition_compare": q_partition_compare,
+        "rnmi_score": q_rnmi,
         "salted_degrees": q_salted_degrees,
         "exact_dup_groups": q_exact_dup_groups,
         "token_count": q_token_count,
@@ -3126,6 +3144,45 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(hb.h, 6) AS entropy_b,
                    ROUND((ha.h + hb.h - 2 * iab.i) / LN(n.n), 6) AS nvoi
             FROM pc, ha, hb, iab, n
+        """,
+        "rnmi_score": f"""
+            WITH a AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+            b AS (SELECT p_partkey AS id, SUBSTRING(p_type, 1, 6) AS comm FROM part),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM a),
+            ct0 AS (SELECT a.comm AS ca, b.comm AS cb, COUNT(*) AS nij
+                    FROM a JOIN b USING (id) GROUP BY 1, 2),
+            na0 AS (SELECT ca, SUM(nij) AS c FROM ct0 GROUP BY 1),
+            nb0 AS (SELECT cb, SUM(nij) AS c FROM ct0 GROUP BY 1),
+            base AS (SELECT -2.0 *
+                       (SELECT SUM((ct0.nij / n.n) *
+                                   LN((ct0.nij / n.n) / ((na0.c / n.n) * (nb0.c / n.n))))
+                        FROM ct0 JOIN na0 USING (ca) JOIN nb0 USING (cb), n)
+                       / ((SELECT SUM((c / n.n) * LN(c / n.n)) FROM na0, n)
+                          + (SELECT SUM((c / n.n) * LN(c / n.n)) FROM nb0, n)) AS v),
+            ks AS (SELECT UNNEST(range(0, 5)) AS k),
+            seq AS (SELECT ROW_NUMBER() OVER (ORDER BY id) AS r, comm FROM a),
+            perm AS (SELECT ks.k, a.id,
+                            ROW_NUMBER() OVER (
+                                PARTITION BY ks.k
+                                ORDER BY {_MD5_60.format(x="a.id::VARCHAR || '_' || ks.k || '_' || 42")}
+                            ) AS r
+                     FROM a CROSS JOIN ks),
+            shuf AS (SELECT perm.k, perm.id, seq.comm AS ca FROM perm JOIN seq USING (r)),
+            ctk AS (SELECT k, shuf.ca, b.comm AS cb, COUNT(*) AS nij
+                    FROM shuf JOIN b USING (id) GROUP BY 1, 2, 3),
+            nak AS (SELECT k, ca, SUM(nij) AS c FROM ctk GROUP BY 1, 2),
+            nbk AS (SELECT k, cb, SUM(nij) AS c FROM ctk GROUP BY 1, 2),
+            hak AS (SELECT k, SUM((c / n.n) * LN(c / n.n)) AS h FROM nak, n GROUP BY 1),
+            hbk AS (SELECT k, SUM((c / n.n) * LN(c / n.n)) AS h FROM nbk, n GROUP BY 1),
+            iabk AS (SELECT ctk.k,
+                            SUM((ctk.nij / n.n) *
+                                LN((ctk.nij / n.n) / ((nak.c / n.n) * (nbk.c / n.n)))) AS i
+                     FROM ctk JOIN nak ON nak.k = ctk.k AND nak.ca = ctk.ca
+                              JOIN nbk ON nbk.k = ctk.k AND nbk.cb = ctk.cb, n
+                     GROUP BY 1),
+            nmik AS (SELECT hak.k, -2.0 * iabk.i / (hak.h + hbk.h) AS v
+                     FROM hak JOIN hbk USING (k) JOIN iabk USING (k))
+            SELECT ROUND(base.v - (SELECT AVG(v) FROM nmik), 6) AS rnmi FROM base
         """,
         "salted_degrees": f"""
             WITH e AS ({_PART_EDGES_SQL}),

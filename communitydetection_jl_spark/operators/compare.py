@@ -232,17 +232,33 @@ def overlap_nmi(cover_a: list[list[int]], cover_b: list[list[int]], n: int | Non
     return 1.0 - 0.5 * (h_x_given_y(cover_a, cover_b) + h_x_given_y(cover_b, cover_a))
 
 
-def rnmi(ma: DataFrame, mb: DataFrame, n_shuffles: int = 10, seed: int = 42) -> float:
+def rnmi(
+    ma: DataFrame,
+    mb: DataFrame,
+    n_shuffles: int = 10,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> float:
     """NMI corrected by the mean NMI of label-shuffled partitions
     (src/nmi.jl:194-213): rnmi = nmi(a,b) − mean_k nmi(shuffle_k(a), b).
 
     Fully distributed: the label multiset is ranked once by vertex id
     (a fixed reference sequence), each shuffle ranks vertices by
-    xxhash64(id, k, seed), and rank⋈rank pairs labels with vertices —
-    a uniform random permutation with no driver-side label vector and
-    no global-sort window (functions/ids.ranked_by: range partitions +
-    per-partition offsets, parquet-backed)."""
+    a keyed hash of (id, k, seed), and rank⋈rank pairs labels with
+    vertices — a uniform random permutation with no driver-side label
+    vector and no global-sort window (functions/ids.ranked_by: range
+    partitions + per-partition offsets, parquet-backed).
+
+    ``hash_mode="md5"`` ranks by the md5-derived 60-bit key of
+    ``id_k_seed`` — bit-reproducible in ANSI SQL, so the whole shuffle
+    ensemble is oracle-checkable; xxhash64 is the faster default."""
     from ..functions.ids import ranked_by
+
+    def shuffle_key(k: int):
+        if hash_mode == "md5":
+            s = F.concat_ws("_", F.col("id"), F.lit(k), F.lit(seed))
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        return F.xxhash64("id", F.lit(k), F.lit(seed))
 
     base = nmi(ma, mb)
     la = ma.columns[1]
@@ -253,9 +269,7 @@ def rnmi(ma: DataFrame, mb: DataFrame, n_shuffles: int = 10, seed: int = 42) -> 
     lbl_seq.count()
     mean_rand = 0.0
     for k in range(n_shuffles):
-        perm = ranked_by(
-            ma.select("id"), F.xxhash64("id", F.lit(k), F.lit(seed))
-        ).select("id", "rank")
+        perm = ranked_by(ma.select("id"), shuffle_key(k)).select("id", "rank")
         shuf = perm.join(lbl_seq, "rank").select("id", "comm")
         mean_rand += nmi(shuf, mb)
     lbl_seq.unpersist()
