@@ -438,6 +438,34 @@ def q_rnmi(spark, sf_dir):
     return spark.createDataFrame([(round(v, 6),)], "rnmi double")
 
 
+def q_overlap_nmi(spark, sf_dir):
+    """LFK cover-NMI (ref src/overlapnmi.jl:7-43) over two genuine
+    covers — every vertex belongs to two clusters per side (brand +
+    size-bucket vs type-prefix + name-prefix) — computed by the
+    distributed DataFrame form and replayed exactly by the oracle's
+    cross-join + guarded-min SQL."""
+    from communitydetection_jl_spark.operators.compare import overlap_nmi_df
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    key = F.col("p_partkey").alias("id")
+    ma = p.select(key, F.col("p_brand").alias("c")).unionByName(
+        p.select(
+            key,
+            F.concat(
+                F.lit("S"), F.pmod(F.col("p_size"), F.lit(5)).cast("string")
+            ).alias("c"),
+        )
+    )
+    mb = p.select(key, F.substring(F.col("p_type"), 1, 6).alias("c")).unionByName(
+        p.select(
+            key,
+            F.concat(F.lit("C"), F.substring(F.col("p_name"), 1, 5)).alias("c"),
+        )
+    )
+    v = overlap_nmi_df(ma, mb)
+    return spark.createDataFrame([(round(v, 6),)], "onmi double")
+
+
 def q_salted_degrees(spark, sf_dir):
     """Skew-safe weighted degrees via the hub-salting two-level
     aggregate (functions/salting.py): MUST equal the plain one-shot
@@ -1149,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fomd_odf": q_fomd_odf,
         "partition_compare": q_partition_compare,
         "rnmi_score": q_rnmi,
+        "overlap_nmi": q_overlap_nmi,
         "salted_degrees": q_salted_degrees,
         "exact_dup_groups": q_exact_dup_groups,
         "token_count": q_token_count,
@@ -1457,6 +1486,56 @@ def _media_frames_oracle() -> str:
                ROUND(AVG((3*x + 5*y + 11*t + 2*id) % 256), 6) AS mean_g,
                ROUND(AVG((11*x + y + 7*t + 3*id) % 256), 6) AS mean_b
         FROM px GROUP BY id, t
+    """
+
+
+def _overlap_nmi_oracle() -> str:
+    """LFK cover-NMI replayed in SQL: the same cluster-size cross join,
+    guarded h() terms, informativeness constraint, per-cluster min and
+    normalization as operators/compare.overlap_nmi_df, over the same
+    two synthetic covers."""
+
+    def H(p):
+        return f"(CASE WHEN ({p}) > 0 AND ({p}) < 1 THEN -({p}) * LN({p}) ELSE 0.0 END)"
+
+    def direction(suf, xc, nx, ny):
+        p11 = "(nij / n.n)"
+        p10 = f"(({nx} - nij) / n.n)"
+        p01 = f"(({ny} - nij) / n.n)"
+        p00 = f"(1.0 - {p11} - {p10} - {p01})"
+        pb = f"({ny} / n.n)"
+        hx = f"({H('(nx / n.n)')} + {H('(1 - nx / n.n)')})"
+        return f"""
+            e{suf} AS (SELECT {xc} AS xc, {nx} AS nx,
+                       ({H(p11)} + {H(p10)} + {H(p01)} + {H(p00)})
+                        - ({H(pb)} + {H(f'(1 - {pb})')}) AS hxy,
+                       ({H(p11)} + {H(p00)}) >= ({H(p01)} + {H(p10)}) AS inf
+                       FROM cross0, n),
+            best{suf} AS (SELECT xc, nx, MIN(CASE WHEN inf THEN hxy END) AS best
+                          FROM e{suf} GROUP BY 1, 2),
+            per{suf} AS (SELECT {hx} AS hx,
+                                LEAST(COALESCE(best, {hx}), {hx}) AS val
+                         FROM best{suf}, n),
+            h{suf} AS (SELECT CASE WHEN SUM(hx) > 0 THEN SUM(val) / SUM(hx)
+                                   ELSE 0.0 END AS v FROM per{suf})"""
+
+    return f"""
+        WITH a AS (SELECT p_partkey AS id, p_brand AS c FROM part
+                   UNION ALL
+                   SELECT p_partkey AS id, 'S' || (p_size % 5) AS c FROM part),
+        b AS (SELECT p_partkey AS id, SUBSTRING(p_type, 1, 6) AS c FROM part
+              UNION ALL
+              SELECT p_partkey AS id, 'C' || SUBSTRING(p_name, 1, 5) AS c FROM part),
+        n AS (SELECT CAST(COUNT(DISTINCT p_partkey) AS DOUBLE) AS n FROM part),
+        sa AS (SELECT c AS ca, COUNT(*) AS na FROM a GROUP BY 1),
+        sb AS (SELECT c AS cb, COUNT(*) AS nb FROM b GROUP BY 1),
+        inter AS (SELECT a.c AS ca, b.c AS cb, COUNT(*) AS nij
+                  FROM a JOIN b USING (id) GROUP BY 1, 2),
+        cross0 AS (SELECT sa.ca, sb.cb, sa.na, sb.nb, COALESCE(i.nij, 0) AS nij
+                   FROM sa CROSS JOIN sb LEFT JOIN inter i USING (ca, cb)),
+        {direction('ab', 'ca', 'na', 'nb')},
+        {direction('ba', 'cb', 'nb', 'na')}
+        SELECT ROUND(1.0 - 0.5 * (hab.v + hba.v), 6) AS onmi FROM hab, hba
     """
 
 
@@ -3145,6 +3224,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((ha.h + hb.h - 2 * iab.i) / LN(n.n), 6) AS nvoi
             FROM pc, ha, hb, iab, n
         """,
+        "overlap_nmi": _overlap_nmi_oracle(),
         "rnmi_score": f"""
             WITH a AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
             b AS (SELECT p_partkey AS id, SUBSTRING(p_type, 1, 6) AS comm FROM part),
