@@ -438,6 +438,43 @@ def q_rnmi(spark, sf_dir):
     return spark.createDataFrame([(round(v, 6),)], "rnmi double")
 
 
+def q_fvcc(spark, sf_dir):
+    """Newman's fraction-of-vertices-correctly-classified (GN benchmark
+    scorer, ref src/girwan_newman_benchmark.jl:41-93): each found
+    community maps to its plurality truth label (ties → smallest
+    label), vertices score by that mapping."""
+    from communitydetection_jl_spark.operators.compare import fvcc
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    found = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    truth = p.select(
+        F.col("p_partkey").alias("id"),
+        F.pmod(F.col("p_size"), F.lit(5)).alias("comm"),
+    )
+    v = fvcc(found, truth)
+    return spark.createDataFrame([(round(v, 6),)], "fvcc double")
+
+
+def q_ami(spark, sf_dir):
+    """Adjusted mutual information (ref src/metrics.jl:452-515 via its
+    sklearn delegate): MI chance-corrected by the hypergeometric E[MI].
+    The oracle recomputes E[MI] per contingency cell with DuckDB's
+    lgamma over the full admissible nij range — independent of the
+    engine's pmf ratio recurrence, so a recurrence bug cannot cancel."""
+    from communitydetection_jl_spark.operators.classification import (
+        adjusted_mutual_info_score,
+    )
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ma = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    mb = p.select(
+        F.col("p_partkey").alias("id"),
+        F.substring(F.col("p_type"), 1, 6).alias("comm"),
+    )
+    v = adjusted_mutual_info_score(ma, mb)
+    return spark.createDataFrame([(round(v, 6),)], "ami double")
+
+
 def q_overlap_nmi(spark, sf_dir):
     """LFK cover-NMI (ref src/overlapnmi.jl:7-43) over two genuine
     covers — every vertex belongs to two clusters per side (brand +
@@ -1178,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_compare": q_partition_compare,
         "rnmi_score": q_rnmi,
         "overlap_nmi": q_overlap_nmi,
+        "fvcc_score": q_fvcc,
+        "ami_score": q_ami,
         "salted_degrees": q_salted_degrees,
         "exact_dup_groups": q_exact_dup_groups,
         "token_count": q_token_count,
@@ -3225,6 +3264,44 @@ def oracle_sql() -> dict[str, str]:
             FROM pc, ha, hb, iab, n
         """,
         "overlap_nmi": _overlap_nmi_oracle(),
+        "fvcc_score": """
+            WITH a AS (SELECT p_partkey AS id, p_brand AS found FROM part),
+            b AS (SELECT p_partkey AS id, p_size % 5 AS truth FROM part),
+            j AS (SELECT a.id, a.found, b.truth FROM a JOIN b USING (id)),
+            plur AS (SELECT found, truth AS plurality FROM
+                       (SELECT found, truth, COUNT(*) AS c FROM j GROUP BY 1, 2)
+                     QUALIFY ROW_NUMBER() OVER (
+                         PARTITION BY found ORDER BY c DESC, truth ASC) = 1)
+            SELECT ROUND(SUM(CASE WHEN j.truth = p.plurality THEN 1.0 ELSE 0.0 END)
+                         / COUNT(*), 6) AS fvcc
+            FROM j JOIN plur p USING (found)
+        """,
+        "ami_score": """
+            WITH ct AS (SELECT p_brand AS ca, SUBSTRING(p_type, 1, 6) AS cb,
+                               COUNT(*) AS nij FROM part GROUP BY 1, 2),
+            n AS (SELECT CAST(SUM(nij) AS DOUBLE) AS n FROM ct),
+            na AS (SELECT ca, SUM(nij) AS c FROM ct GROUP BY 1),
+            nb AS (SELECT cb, SUM(nij) AS c FROM ct GROUP BY 1),
+            mi AS (SELECT SUM((ct.nij / n.n) *
+                              LN((ct.nij / n.n) / ((na.c / n.n) * (nb.c / n.n)))) AS i
+                   FROM ct JOIN na USING (ca) JOIN nb USING (cb), n),
+            ha AS (SELECT -SUM((c / n.n) * LN(c / n.n)) AS h FROM na, n),
+            hb AS (SELECT -SUM((c / n.n) * LN(c / n.n)) AS h FROM nb, n),
+            cells AS (SELECT na.c AS ai, nb.c AS bj FROM na CROSS JOIN nb),
+            rng AS (SELECT ai, bj,
+                           UNNEST(range(CAST(GREATEST(1, ai + bj - CAST(n.n AS BIGINT)) AS BIGINT),
+                                        CAST(LEAST(ai, bj) + 1 AS BIGINT))) AS k
+                    FROM cells, n),
+            emi AS (SELECT SUM(
+                        (k / n.n) * (LN(n.n) + LN(CAST(k AS DOUBLE)) - LN(CAST(ai AS DOUBLE)) - LN(CAST(bj AS DOUBLE)))
+                        * EXP(lgamma(bj + 1) - lgamma(k + 1) - lgamma(bj - k + 1)
+                              + lgamma(n.n - bj + 1) - lgamma(ai - k + 1)
+                              - lgamma(n.n - bj - ai + k + 1)
+                              - lgamma(n.n + 1) + lgamma(ai + 1) + lgamma(n.n - ai + 1))
+                    ) AS e FROM rng, n)
+            SELECT ROUND((mi.i - emi.e) / ((ha.h + hb.h) / 2.0 - emi.e), 6) AS ami
+            FROM mi, ha, hb, emi
+        """,
         "rnmi_score": f"""
             WITH a AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
             b AS (SELECT p_partkey AS id, SUBSTRING(p_type, 1, 6) AS comm FROM part),
