@@ -33,6 +33,8 @@ def read_grp(spark: SparkSession, path: str, skip_tokens: int = 0) -> DataFrame:
         .select(F.slice("toks", skip_tokens + 1, 1_000_000_000).alias("toks"))
         .select(F.transform("toks", lambda t: t.cast("long")).alias("members"))
     )
+    # global window is fine here: .grp is the reference's single-file
+    # fixture format (communities-per-line), never a web-scale input
     w = W.orderBy(F.col("members")[0])
     return lines.select(
         F.row_number().over(w).cast("long").alias("grp"), "members"
@@ -72,7 +74,9 @@ def write_msp(msp: DataFrame, path: str) -> None:
 
 
 def gen_lnd(edges: DataFrame, path: str) -> None:
-    """Edge list → .lnd lines 'lineno + src dst' (src/utils.jl:141-154)."""
+    """Edge list → .lnd lines 'lineno + src dst' (src/utils.jl:141-154).
+    Single-file fixture format (coalesce(1)); the global line-number
+    window matches that scope — not a web-scale path."""
     w = W.orderBy("src", "dst")
     edges.select("src", "dst").withColumn(
         "ln", F.row_number().over(w)
