@@ -356,3 +356,13 @@ def test_frame_sample_real_counts(spark):
     rows = frame_sample(media, every_n=4, deterministic_fake=False).collect()
     want = {(i, t) for i in range(6) for t in range(0, 4 + i % 13, 4)}
     assert {(r.media_id, r.frame_idx) for r in rows} == want
+
+
+def test_sample_frames_max_side_resizes(spark):
+    media = synth_media_video(spark, n=4)
+    out = sample_frames(media, every_n=4, max_side=6).collect()
+    assert out
+    for r in out:
+        assert max(r.width, r.height) <= 6
+        img = codecs.decode_ppm(bytes(r.payload))
+        assert img.shape == (r.height, r.width, 3)

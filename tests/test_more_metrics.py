@@ -134,3 +134,23 @@ def test_overlap_nmi_df_matches_driver(spark):
     assert got == _pt.approx(want, abs=1e-12)
     same = overlap_nmi_df(to_df(cover_a), to_df(cover_a))
     assert same == _pt.approx(1.0, abs=1e-12)
+
+
+def test_rnmi_md5_mode_agrees_with_default(spark):
+    """The md5 shuffle-key mode (oracle path) is a different uniform
+    permutation family, so values differ slightly — but both are
+    deterministic and the shuffle correction has the same magnitude."""
+    import pytest as _pt
+
+    from communitydetection_jl_spark.operators.compare import rnmi
+
+    la = [i // 10 for i in range(100)]
+    lb = list(la)
+    lb[3] = 9
+    ma = spark.createDataFrame(list(enumerate(la)), "id long, comm long")
+    mb = spark.createDataFrame(list(enumerate(lb)), "id long, comm long")
+    m1 = rnmi(ma, mb, n_shuffles=4, hash_mode="md5")
+    m2 = rnmi(ma, mb, n_shuffles=4, hash_mode="md5")
+    assert m1 == _pt.approx(m2, abs=1e-12)
+    x1 = rnmi(ma, mb, n_shuffles=4)
+    assert abs(m1 - x1) < 0.1  # same correction scale, different draws
