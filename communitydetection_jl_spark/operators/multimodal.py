@@ -320,7 +320,11 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_side: int | None = No
     (media_id, frame_idx, width, height, payload). The output rows are
     ordinary image payloads, so the whole image pipeline (decode_media,
     resize_images, image features → ANN/dedup) composes downstream.
-    Non-AVI video payloads are skipped (quarantine via decode_media)."""
+    Non-AVI video payloads are skipped (quarantine via decode_media).
+
+    Memory bound: one clip is decoded fully per row, so repartition
+    upstream to O(few) payloads per task for long clips — the ffmpeg
+    plug-in point would stream frames instead (same output schema)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
