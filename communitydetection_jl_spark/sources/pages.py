@@ -42,7 +42,8 @@ PAGE_SCHEMA = T.StructType(
     ]
 )
 
-_HREF_RE = re.compile(r'href="(https?://[^"\s]+)"')
+HREF_PATTERN = r'href="(https?://[^"\s]+)"'
+_HREF_RE = re.compile(HREF_PATTERN)
 _LANGS = np.array(["en", "de", "fr", "es", "zh"])
 
 
@@ -163,21 +164,42 @@ def extract_hrefs(text: pd.Series) -> pd.Series:
     return text.fillna("").map(_HREF_RE.findall)
 
 
+def extract_hrefs_expr(col):
+    """JVM-side href extraction: the same HREF_PATTERN via
+    regexp_extract_all (group 1) — no Arrow round-trip of the page
+    text, stays inside whole-stage codegen. Java and Python regex
+    agree on this pattern's constructs (literal prefix, negated
+    class); tests pin output equality with the pandas UDF on the
+    synthetic corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(HREF_PATTERN), 1)
+
+
 def url_ids(col):
     """Stable 63-bit non-negative vertex id for a url (xxhash64)."""
     return F.abs(F.xxhash64(col))
 
 
-def extract_edges(pages: DataFrame, dedup_latest: bool = True) -> DataFrame:
+def extract_edges(
+    pages: DataFrame, dedup_latest: bool = True, engine: str = "jvm"
+) -> DataFrame:
     """pages → edges(src, dst, weight).
 
     One row per distinct (src,dst) link with weight = link multiplicity.
     Self-links dropped. Targets need not exist in the corpus (the web's
-    frontier); use ``restrict_to_corpus`` to close the graph."""
+    frontier); use ``restrict_to_corpus`` to close the graph.
+
+    ``engine="jvm"`` (default) extracts hrefs with regexp_extract_all
+    inside codegen; ``engine="pandas"`` uses the Arrow-batched UDF —
+    identical output (pinned by test), kept as the plug-in point for
+    extraction logic a regex can't express."""
     p = latest_captures(pages) if dedup_latest else pages
+    hrefs = (
+        extract_hrefs_expr("text") if engine == "jvm" else extract_hrefs("text")
+    )
     links = p.select(
         url_ids("url").alias("src"),
-        F.explode(extract_hrefs("text")).alias("dst_url"),
+        F.explode(hrefs).alias("dst_url"),
     )
     return (
         links.select("src", url_ids("dst_url").alias("dst"))

@@ -140,3 +140,15 @@ def test_components_resume_from_checkpoint(spark, tmp_path, pages):
         for r in connected_components(edges, ledger=ledgerB).collect()
     }
     assert resumed == full
+
+
+def test_extract_edges_jvm_equals_pandas(spark, pages):
+    """The codegen regexp_extract_all path and the Arrow pandas-UDF
+    path must produce identical (src, dst, weight) edge tables — the
+    JVM default is a pure execution-strategy change."""
+    from communitydetection_jl_spark.sources.pages import extract_edges
+
+    jvm = extract_edges(pages, engine="jvm")
+    pd_ = extract_edges(pages, engine="pandas")
+    assert jvm.exceptAll(pd_).count() == 0
+    assert pd_.exceptAll(jvm).count() == 0
