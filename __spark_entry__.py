@@ -1068,29 +1068,24 @@ def q_media_audio(spark, sf_dir):
 
 
 def _video_media(spark, sf_dir):
-    """Deterministic AVI payloads keyed by doc_id: frames follow the
-    synth_media_video pixel formula r=(7x+13y+5t+id)%256 etc. over
-    w=8+id%9, h=8+id%7, n_frames=4+id%13, fps=5+id%7 — so DuckDB can
-    recompute any frame statistic without touching bytes."""
-    import numpy as np
+    """Deterministic AVI payloads keyed by doc_id: frames come from
+    multimodal.formula_frames (the single Python source of the pixel
+    formula) — so DuckDB can recompute any frame statistic without
+    touching bytes, and this builder cannot drift from
+    synth_media_video."""
     import pandas as pd
 
     from communitydetection_jl_spark.functions import codecs
+    from communitydetection_jl_spark.operators.multimodal import formula_frames
 
     def make(batches):
         for pdf in batches:
             ids, payloads = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
-                w, h, nf = 8 + i % 9, 8 + i % 7, 4 + i % 13
-                tt, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
-                frames = np.stack(
-                    [(7 * xx + 13 * yy + 5 * tt + i) % 256,
-                     (3 * xx + 5 * yy + 11 * tt + 2 * i) % 256,
-                     (11 * xx + yy + 7 * tt + 3 * i) % 256],
-                    axis=3).astype(np.uint8)
+                frames, fps = formula_frames(i)
                 ids.append(i)
-                payloads.append(codecs.encode_avi(frames, fps=5 + i % 7))
+                payloads.append(codecs.encode_avi(frames, fps=fps))
             yield pd.DataFrame({"media_id": ids, "kind": "video",
                                 "payload": payloads})
 
@@ -1318,20 +1313,29 @@ def _minhash_oracle() -> str:
 
 
 def _jaccard_pairs_oracle() -> str:
-    """Exact shingle-set Jaccard over the MinHash-LSH candidates: the
-    same CTE chain up to ``cand``, then true set intersection — so the
-    two-stage propose/verify pipeline is checked end to end."""
+    """Exact shingle-set Jaccard over the MinHash-LSH OUTPUT pairs:
+    the same CTE chain up to ``cand`` PLUS the est_jaccard >= 0.7
+    verify filter (minhash_lsh_pairs applies it before returning, so
+    the engine's candidate set is the thresholded one), then true set
+    intersection — the two-stage propose/verify pipeline end to end."""
     return f"""{_minhash_cte_prefix()},
+        est AS (SELECT c.id_a, c.id_b,
+                       SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 64.0 AS ej
+                FROM cand c
+                JOIN m ma ON ma.id = c.id_a
+                JOIN m mb ON mb.id = c.id_b AND mb.i = ma.i
+                GROUP BY 1, 2),
+        keep AS (SELECT id_a, id_b FROM est WHERE ej >= 0.7),
         sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS ni
-                  FROM cand c
+                  FROM keep c
                   JOIN sh sa ON sa.id = c.id_a
                   JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s
                   GROUP BY 1, 2)
         SELECT c.id_a, c.id_b,
                ROUND(COALESCE(i.ni, 0)
                      / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS jaccard
-        FROM cand c
+        FROM keep c
         LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
         JOIN sizes na ON na.id = c.id_a
         JOIN sizes nb ON nb.id = c.id_b

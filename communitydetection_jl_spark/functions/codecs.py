@@ -18,9 +18,10 @@ Scope (documented, asserted):
   ``wave`` module in the decoder, so stdlib-``wave``-written files act
   as an independent test oracle).
 - AVI: RIFF/'AVI ', single 'vids' stream, uncompressed 24bpp BI_RGB
-  ('DIB ') frames — the same bottom-up padded-BGR raster as BMP, one
-  '00db' chunk per frame. Compressed codecs (MJPEG/H.264) stay behind
-  the documented plug-in boundary in operators/multimodal.py.
+  ('DIB ') frames — the same padded-BGR raster as BMP (top-down or
+  bottom-up), one '00db' chunk per frame. Compressed codecs
+  (MJPEG/H.264) stay behind the documented plug-in boundary in
+  operators/multimodal.py.
 """
 
 from __future__ import annotations
@@ -71,16 +72,30 @@ def decode_ppm(data: bytes) -> np.ndarray:
 # ----------------------------------------------------------------- BMP --
 
 
+def _dib_raster(frame: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → raw DIB raster (bottom-up, BGR, 4-byte
+    row padding) — the shared BMP/AVI pixel-block layout."""
+    h, w = frame.shape[:2]
+    row_len = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _undib_raster(raw: bytes, w: int, h: int, bottom_up: bool = True) -> np.ndarray:
+    row_len = (w * 3 + 3) & ~3
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * row_len).reshape(h, row_len)
+    rgb = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return (rgb[::-1] if bottom_up else rgb).copy()
+
+
 def encode_bmp(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → 24bpp bottom-up BI_RGB BMP."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"BMP wants (H, W, 3), got {a.shape}")
     h, w = a.shape[:2]
-    row_len = (w * 3 + 3) & ~3
-    rows = np.zeros((h, row_len), dtype=np.uint8)
-    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
-    pixel_data = rows.tobytes()
+    pixel_data = _dib_raster(a)
     off = 14 + 40
     header = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
@@ -103,12 +118,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"only 24bpp BI_RGB supported (bpp={bpp}, comp={compression})")
     h = abs(h_signed)
     row_len = (w * 3 + 3) & ~3
-    raster = np.frombuffer(data, dtype=np.uint8, count=h * row_len, offset=off)
-    rows = raster.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
-    rgb = rows[:, :, ::-1]  # BGR → RGB
-    if h_signed > 0:  # bottom-up
-        rgb = rgb[::-1]
-    return rgb.copy()
+    raster = data[off : off + h * row_len]
+    return _undib_raster(raster, w, h, bottom_up=h_signed > 0)
 
 
 # ----------------------------------------------------------------- PNG --
@@ -256,22 +267,6 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
 # ----------------------------------------------------------------- AVI --
 
 
-def _dib_raster(frame: np.ndarray) -> bytes:
-    """(H, W, 3) uint8 RGB → raw DIB raster (bottom-up, BGR, 4-byte
-    row padding) — identical layout to the BMP pixel block."""
-    h, w = frame.shape[:2]
-    row_len = (w * 3 + 3) & ~3
-    rows = np.zeros((h, row_len), dtype=np.uint8)
-    rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
-    return rows.tobytes()
-
-
-def _undib_raster(raw: bytes, w: int, h: int) -> np.ndarray:
-    row_len = (w * 3 + 3) & ~3
-    rows = np.frombuffer(raw, dtype=np.uint8, count=h * row_len).reshape(h, row_len)
-    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
-
-
 def _riff_list(tag: bytes, body: bytes) -> bytes:
     return b"LIST" + struct.pack("<I", 4 + len(body)) + tag + body
 
@@ -330,22 +325,35 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
 def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
     """Uncompressed 24bpp AVI → (fps, (N, H, W, 3) uint8 RGB). RIFF
     chunk walk over hdrl (strh/strf for rate + dimensions) and movi
-    ('00db'/'00dc' raw DIB frames); idx1 is not required."""
+    ('00db'/'00dc' raw DIB frames); idx1 is not required. Top-down
+    DIBs (negative biHeight) are honored like decode_bmp. fps is the
+    nearest integer to rate/scale, floored at 1 (header metadata only
+    — frame pixels are unaffected). The walk is ITERATIVE (explicit
+    LIST stack), so adversarially nested LISTs raise ValueError from
+    the depth bound instead of RecursionError — malformed payloads
+    must stay catchable by decode_media's quarantine."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = 0
+    bottom_up = True
     scale, rate = 1, 10
     frames: list[np.ndarray] = []
-
-    def walk(start: int, end: int) -> None:
-        nonlocal w, h, scale, rate
-        pos = start
+    stack: list[tuple[int, int]] = [(12, len(data))]
+    seen = 0
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
+            seen += 1
+            if seen > 1_000_000:
+                raise ValueError("malformed AVI: too many chunks")
             tag, length = struct.unpack_from("<4sI", data, pos)
             body_off = pos + 8
             pos = body_off + length + (length & 1)
             if tag == b"LIST":
-                walk(body_off + 4, body_off + length)
+                if len(stack) >= 64:
+                    raise ValueError("malformed AVI: LIST nesting too deep")
+                stack.append((pos, end))  # resume after this LIST
+                pos, end = body_off + 4, min(body_off + length, len(data))
             elif tag == b"strh":
                 fcc_type, _fcc, _fl, _pr, _la, _init, s, r = struct.unpack_from(
                     "<4s4sIHHIII", data, body_off)
@@ -358,13 +366,15 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
                     raise ValueError(
                         f"only uncompressed 24bpp AVI supported (bpp={bpp}, comp={comp})")
                 w, h = bw, abs(bh)
+                bottom_up = bh > 0
             elif tag in (b"00db", b"00dc") and w:
-                frames.append(_undib_raster(data[body_off:body_off + length], w, h))
-
-    walk(12, len(data))
+                raw = data[body_off:body_off + length]
+                if len(raw) < ((w * 3 + 3) & ~3) * h:
+                    raise ValueError("truncated AVI frame chunk")
+                frames.append(_undib_raster(raw, w, h, bottom_up=bottom_up))
     if not w or not frames:
         raise ValueError("missing video stream or frames")
-    return rate // scale, np.stack(frames)
+    return max(1, round(rate / scale)), np.stack(frames)
 
 
 # ----------------------------------------------------------- dispatch --

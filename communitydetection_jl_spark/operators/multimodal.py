@@ -90,22 +90,30 @@ def synth_media_real(spark: SparkSession, n: int = 48, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def synth_media_video(spark: SparkSession, n: int = 16, seed: int = 42) -> DataFrame:
-    """Deterministic real-AVI media table: per media_id, frames follow
-    the closed-form pixel formula r=(7x+13y+5t+id)%256,
-    g=(3x+5y+11t+2id)%256, b=(11x+y+7t+3id)%256 over
-    w=8+id%9, h=8+id%7, n_frames=4+id%13 at fps=5+id%7 — so an
-    oracle can recompute any frame statistic without touching bytes."""
+def formula_frames(i: int) -> tuple[np.ndarray, int]:
+    """The closed-form video clip for id ``i``: (frames, fps) with
+    pixels r=(7x+13y+5t+i)%256, g=(3x+5y+11t+2i)%256,
+    b=(11x+y+7t+3i)%256 over w=8+i%9, h=8+i%7, n_frames=4+i%13,
+    fps=5+i%7. The SINGLE Python source of the formula — shared by
+    synth_media_video and the driver query builder so the two engine
+    copies cannot drift from the oracle SQL recomputations."""
+    w, h, nf = 8 + i % 9, 8 + i % 7, 4 + i % 13
+    tt, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+    frames = np.stack(
+        [(7 * xx + 13 * yy + 5 * tt + i) % 256,
+         (3 * xx + 5 * yy + 11 * tt + 2 * i) % 256,
+         (11 * xx + yy + 7 * tt + 3 * i) % 256], axis=3).astype(np.uint8)
+    return frames, 5 + i % 7
+
+
+def synth_media_video(spark: SparkSession, n: int = 16) -> DataFrame:
+    """Deterministic real-AVI media table built from formula_frames —
+    an oracle can recompute any frame statistic without touching
+    bytes. (No seed: the corpus IS the closed-form formula.)"""
     rows = []
     for i in range(n):
-        w, h, nf = 8 + i % 9, 8 + i % 7, 4 + i % 13
-        tt, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
-        frames = np.stack(
-            [(7 * xx + 13 * yy + 5 * tt + i) % 256,
-             (3 * xx + 5 * yy + 11 * tt + 2 * i) % 256,
-             (11 * xx + yy + 7 * tt + 3 * i) % 256], axis=3).astype(np.uint8)
-        rows.append((i, "video",
-                     bytearray(codecs.encode_avi(frames, fps=5 + i % 7)),
+        frames, fps = formula_frames(i)
+        rows.append((i, "video", bytearray(codecs.encode_avi(frames, fps=fps)),
                      {"src": f"synth/{i}"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -166,8 +174,9 @@ def audio_feature(pcm: np.ndarray, n_windows: int = 16) -> list[float]:
 
 
 def _real_decode(payload: bytes, kind: str, feat_dim: int) -> tuple[int, int, int, list[float]]:
-    """Codec-backed decode for image/audio; video has no pure-stdlib
-    codec and raises at the documented plug-in boundary."""
+    """Codec-backed decode for image (PPM/BMP/PNG), audio (WAV) and
+    video (uncompressed AVI); everything else raises at the documented
+    ffmpeg plug-in boundary."""
     fmt = codecs.sniff_format(payload)
     if fmt in ("ppm", "bmp", "png"):
         img = codecs.decode_image(payload)
@@ -334,7 +343,10 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_side: int | None = No
                 raw = bytes(payload or b"")
                 if codecs.sniff_format(raw) != "avi":
                     continue
-                _fps, frames = codecs.decode_avi(raw)
+                try:
+                    _fps, frames = codecs.decode_avi(raw)
+                except (ValueError, struct_error):
+                    continue  # malformed AVI → skip like non-AVI payloads
                 for idx in range(0, frames.shape[0], every_n):
                     img = frames[idx]
                     if max_side is not None:

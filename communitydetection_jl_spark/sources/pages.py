@@ -43,7 +43,10 @@ PAGE_SCHEMA = T.StructType(
 )
 
 HREF_PATTERN = r'href="(https?://[^"\s]+)"'
-_HREF_RE = re.compile(HREF_PATTERN)
+# re.ASCII pins Python's \s to the ASCII set Java regex uses, so the
+# JVM (regexp_extract_all) and pandas-UDF extractors agree byte-for-
+# byte even on hrefs containing unicode whitespace (NBSP, U+2028, ...)
+_HREF_RE = re.compile(HREF_PATTERN, re.ASCII)
 _LANGS = np.array(["en", "de", "fr", "es", "zh"])
 
 

@@ -366,3 +366,60 @@ def test_sample_frames_max_side_resizes(spark):
         assert max(r.width, r.height) <= 6
         img = codecs.decode_ppm(bytes(r.payload))
         assert img.shape == (r.height, r.width, 3)
+
+
+def test_avi_malformed_payloads_raise_value_error_not_recursion():
+    # 5000 nested LIST headers: must hit the depth bound as ValueError
+    # (catchable by decode_media's quarantine), never RecursionError
+    body = b"AVI " + b"LIST" + struct.pack("<I", 0xFFFFFF) * 0  # placeholder
+    nested = b""
+    for _ in range(5000):
+        nested = b"LIST" + struct.pack("<I", 4 + len(nested)) + b"hdrl" + nested
+    data = b"RIFF" + struct.pack("<I", 4 + len(nested)) + b"AVI " + nested
+    with pytest.raises(ValueError, match="nesting too deep"):
+        codecs.decode_avi(data)
+    # truncated frame chunk → ValueError too
+    frames = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    good = codecs.encode_avi(frames)
+    cut = good[: good.index(b"00db") + 8 + 5]
+    with pytest.raises(ValueError):
+        codecs.decode_avi(cut)
+
+
+def test_avi_top_down_dib_and_fractional_fps():
+    frames = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    data = bytearray(codecs.encode_avi(frames, fps=10))
+    # flip biHeight negative (top-down) and re-pack rows accordingly:
+    # encoder wrote bottom-up rasters, so a top-down header over the
+    # same bytes must decode as the vertical mirror
+    strf = bytes(data).index(b"strf") + 8
+    w, h = struct.unpack_from("<ii", bytes(data), strf + 4)
+    struct.pack_into("<i", data, strf + 8, -h)
+    fps, out = codecs.decode_avi(bytes(data))
+    assert np.array_equal(out, frames[:, ::-1, :, :])
+    # NTSC timing: scale=1001, rate=30000 → fps rounds to 30
+    strh = bytes(data).index(b"strh") + 8
+    struct.pack_into("<II", data, strh + 20, 1001, 30000)
+    fps2, _ = codecs.decode_avi(bytes(data))
+    assert fps2 == 30
+
+
+def test_sample_frames_skips_malformed_avi(spark):
+    import pandas as pd
+
+    good_frames, fps = __import__(
+        "communitydetection_jl_spark.operators.multimodal",
+        fromlist=["formula_frames"],
+    ).formula_frames(1)
+    good = codecs.encode_avi(good_frames, fps=fps)
+    bad = good[:40]  # sniffs as avi, fails to decode
+    rows = [
+        (1, "video", bytearray(good), None),
+        (2, "video", bytearray(bad), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = sample_frames(media, every_n=2).collect()
+    assert {r.media_id for r in out} == {1}

@@ -152,3 +152,21 @@ def test_extract_edges_jvm_equals_pandas(spark, pages):
     pd_ = extract_edges(pages, engine="pandas")
     assert jvm.exceptAll(pd_).count() == 0
     assert pd_.exceptAll(jvm).count() == 0
+
+
+def test_href_unicode_whitespace_parity(spark):
+    """re.ASCII pins Python's \\s to Java's: an href containing NBSP
+    must extract identically on the JVM and pandas paths."""
+    from communitydetection_jl_spark.sources.pages import (
+        _HREF_RE,
+        extract_hrefs,
+        extract_hrefs_expr,
+    )
+
+    nbsp = "\u00a0"  # explicit: invisible in source otherwise
+    text = f'<a href="http://x.com/a{nbsp}b">x</a> <a href="http://y.com/c d">'
+    assert _HREF_RE.findall(text) == [f"http://x.com/a{nbsp}b"]
+    df = spark.createDataFrame([(text,)], "text string")
+    jvm = df.select(extract_hrefs_expr("text").alias("h")).collect()[0].h
+    pnd = df.select(extract_hrefs("text").alias("h")).collect()[0].h
+    assert jvm == pnd == [f"http://x.com/a{nbsp}b"]
