@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.pages import PAGE_SCHEMA, extract_hrefs, url_ids
+from ..sources.pages import PAGE_SCHEMA, extract_hrefs_expr, url_ids
 
 
 def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
@@ -40,7 +40,7 @@ def incremental_edge_ingest(
     links = pages.select(
         url_ids("url").alias("src"),
         F.col("warc_ts"),
-        F.explode(extract_hrefs("text")).alias("dst_url"),
+        F.explode(extract_hrefs_expr("text")).alias("dst_url"),
     ).select("src", url_ids("dst_url").alias("dst"), "warc_ts")
     links = links.filter(F.col("src") != F.col("dst"))
     return (
@@ -71,7 +71,7 @@ def link_rate(pages_stream: DataFrame, window: str = "1 hour", slide: str = "15 
     links = pages_stream.withWatermark("warc_ts", "2 hours").select(
         F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
         "warc_ts",
-        F.size(extract_hrefs("text")).alias("n_links"),
+        F.size(extract_hrefs_expr("text")).alias("n_links"),
     )
     return links.groupBy(F.window("warc_ts", window, slide), "host").agg(
         F.sum("n_links").alias("outlinks"), F.count("*").alias("pages")
