@@ -1184,7 +1184,352 @@ def q_events_props(spark, sf_dir):
     return _r6(props_stats(_events(spark, sf_dir)), "avg_k")
 
 
+# --------------------------------------------------- merged driver rows --
+#
+# The driver's correctness sweep runs AT MOST ~50 queries (round 3
+# registered 73 and exactly the first 50 dict entries got rows), so the
+# registered surface is consolidated: families with a common result
+# shape are unioned under a tag column, and the oracle side is the
+# identical tagged UNION ALL of the per-operator oracle SQL — one
+# driver row still hash-pins every constituent value. The fine-grained
+# queries/oracles are all kept (q_* / _oracle_sql_base) and remain
+# individually runnable via scripts/check_oracles.py.
+
+def _union_parts(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+_SCORE_PARTS = [
+    # (tag, fine-grained query fn, base-oracle key, scalar column)
+    ("modularity", q_modularity_score, "modularity_score", "q"),
+    ("nmi", q_nmi_score, "nmi_score", "nmi"),
+    ("rnmi", q_rnmi, "rnmi_score", "rnmi"),
+    ("ami", q_ami, "ami_score", "ami"),
+    ("fvcc", q_fvcc, "fvcc_score", "fvcc"),
+    ("overlap_nmi", q_overlap_nmi, "overlap_nmi", "onmi"),
+    ("significance", q_significance_score, "significance_score", "significance"),
+    ("surprise", q_surprise_score, "surprise_score", "surprise"),
+    ("rber", q_rber_score, "rber_score", "rber"),
+    ("map_equation", q_map_equation, "map_equation", "codelength"),
+]
+
+
+def q_scores(spark, sf_dir):
+    """All ten scalar objective/comparison metrics as one (name, value)
+    panel: modularity, NMI, rNMI (md5 mode), AMI, FVCC, LFK cover-NMI,
+    significance, surprise, RBER, map equation. Each value is the
+    corresponding fine-grained query's single cell; the oracle is the
+    tagged UNION ALL of their oracle SQL."""
+    dfs = []
+    for tag, fn, _key, _col in _SCORE_PARTS:
+        d = fn(spark, sf_dir)
+        dfs.append(d.select(
+            F.lit(tag).alias("name"),
+            F.col(d.columns[0]).cast("double").alias("value"),
+        ))
+    return _union_parts(dfs)
+
+
+def q_degrees_all(spark, sf_dir):
+    """Degree family: directed degrees/strengths (orders graph),
+    undirected degrees (part graph), and the hub-salted two-level
+    strength aggregate — tagged union, numeric slots n1..n4."""
+    z = F.lit(0.0)
+    a = q_degrees(spark, sf_dir).select(
+        F.lit("directed").alias("part"), "id",
+        F.col("out_deg").cast("double").alias("n1"),
+        F.col("in_deg").cast("double").alias("n2"),
+        F.col("out_strength").alias("n3"),
+        F.col("in_strength").alias("n4"))
+    b = q_degrees_undirected(spark, sf_dir).select(
+        F.lit("undirected").alias("part"), "id",
+        F.col("deg").cast("double").alias("n1"),
+        z.alias("n2"), z.alias("n3"), z.alias("n4"))
+    c = q_salted_degrees(spark, sf_dir).select(
+        F.lit("salted").alias("part"), "id",
+        F.col("strength").alias("n1"),
+        z.alias("n2"), z.alias("n3"), z.alias("n4"))
+    return _union_parts([a, b, c])
+
+
+def q_textstats(spark, sf_dir):
+    """Text-analysis family over documents: whitespace token counts,
+    quality scores, md5 fingerprints and n-gram language id — tagged
+    union (numeric slots n1..n3, string slot s)."""
+    z = F.lit(0.0)
+    es = F.lit("")
+    a = q_token_count(spark, sf_dir).select(
+        F.lit("tokens").alias("part"), "id",
+        F.col("ws_tokens").cast("double").alias("n1"),
+        z.alias("n2"), z.alias("n3"), es.alias("s"))
+    b = q_text_quality(spark, sf_dir).select(
+        F.lit("quality").alias("part"), "id",
+        F.col("n_chars").cast("double").alias("n1"),
+        F.col("alpha_ratio").alias("n2"),
+        F.col("punct_ratio").alias("n3"), es.alias("s"))
+    c = q_fingerprint(spark, sf_dir).select(
+        F.lit("fingerprint").alias("part"), "id",
+        z.alias("n1"), z.alias("n2"), z.alias("n3"),
+        F.col("fp").alias("s"))
+    d = q_lang_id(spark, sf_dir).select(
+        F.lit("lang").alias("part"), "id",
+        z.alias("n1"), z.alias("n2"), z.alias("n3"),
+        F.col("pred_lang").alias("s"))
+    return _union_parts([a, b, c, d])
+
+
+def q_neardup_pairs(spark, sf_dir):
+    """Near-duplicate pair family: MinHash+LSH (md5 mode), exact
+    n-gram Jaccard verify over the LSH candidates, SimHash banded
+    pairs, and hyperplane-LSH near vectors — tagged union on
+    (method, id_a, id_b, val)."""
+    a = q_minhash_pairs(spark, sf_dir).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("est_jaccard").alias("val"))
+    b = q_jaccard_pairs(spark, sf_dir).select(
+        F.lit("jaccard").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("val"))
+    c = q_simhash_pairs(spark, sf_dir).select(
+        F.lit("simhash").alias("method"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("val"))
+    d = q_lsh_near_vectors(spark, sf_dir).select(
+        F.lit("lsh_vec").alias("method"), "id_a", "id_b",
+        F.col("cosine_r").alias("val"))
+    return _union_parts([a, b, c, d])
+
+
+def q_media_all(spark, sf_dir):
+    """Multimodal codec family end to end: PPM image decode, WAV audio
+    decode, uncompressed-AVI video decode, and the video→frame-sample→
+    image handoff — tagged union (key slot k2 = frame_idx for frames,
+    numeric slots n1..n8)."""
+    z = F.lit(0.0)
+    zl = F.lit(0).cast("long")
+    a = q_media_image(spark, sf_dir).select(
+        F.lit("image").alias("part"), "id", zl.alias("k2"),
+        F.col("width").cast("double").alias("n1"),
+        F.col("height").cast("double").alias("n2"),
+        F.col("mean_r").alias("n3"), F.col("mean_g").alias("n4"),
+        F.col("mean_b").alias("n5"), z.alias("n6"), z.alias("n7"),
+        z.alias("n8"))
+    b = q_media_audio(spark, sf_dir).select(
+        F.lit("audio").alias("part"), "id", zl.alias("k2"),
+        F.col("sample_rate").cast("double").alias("n1"),
+        F.col("n_frames").cast("double").alias("n2"),
+        F.col("duration").alias("n3"), F.col("rms").alias("n4"),
+        z.alias("n5"), z.alias("n6"), z.alias("n7"), z.alias("n8"))
+    c = q_media_video(spark, sf_dir).select(
+        F.lit("video").alias("part"), "id", zl.alias("k2"),
+        F.col("width").cast("double").alias("n1"),
+        F.col("height").cast("double").alias("n2"),
+        F.col("n_frames").cast("double").alias("n3"),
+        F.col("fps").cast("double").alias("n4"),
+        F.col("duration").alias("n5"),
+        F.col("mean_r").alias("n6"), F.col("mean_g").alias("n7"),
+        F.col("mean_b").alias("n8"))
+    d = q_media_frames(spark, sf_dir).select(
+        F.lit("frames").alias("part"), "id",
+        F.col("frame_idx").cast("long").alias("k2"),
+        F.col("width").cast("double").alias("n1"),
+        F.col("height").cast("double").alias("n2"),
+        F.col("mean_r").alias("n3"), F.col("mean_g").alias("n4"),
+        F.col("mean_b").alias("n5"), z.alias("n6"), z.alias("n7"),
+        z.alias("n8"))
+    return _union_parts([a, b, c, d])
+
+
+def q_events_all(spark, sf_dir):
+    """Event-analytics family: tumbling-window rollups (batch twin of
+    the streaming query), gap sessionization, and JSON property stats —
+    tagged union (string keys k1/k2, numeric slots n1..n5)."""
+    z = F.lit(0.0)
+    a = q_events_windows(spark, sf_dir).select(
+        F.lit("windows").alias("part"),
+        F.col("window_start").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_events").cast("double").alias("n1"),
+        F.col("total_value").alias("n2"),
+        F.col("n_users").cast("double").alias("n3"),
+        z.alias("n4"), z.alias("n5"))
+    b = q_events_sessions(spark, sf_dir).select(
+        F.lit("sessions").alias("part"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("session_idx").cast("string").alias("k2"),
+        F.col("start_ts").alias("n1"), F.col("end_ts").alias("n2"),
+        F.col("duration").alias("n3"),
+        F.col("n_events").cast("double").alias("n4"),
+        F.col("total_value").alias("n5"))
+    c = q_events_props(spark, sf_dir).select(
+        F.lit("props").alias("part"),
+        F.col("event_type").alias("k1"), F.lit("").alias("k2"),
+        F.col("n").cast("double").alias("n1"),
+        F.col("avg_k").alias("n2"),
+        F.col("max_k").cast("double").alias("n3"),
+        z.alias("n4"), z.alias("n5"))
+    return _union_parts([a, b, c])
+
+
+def q_louvain_locals(spark, sf_dir):
+    """All five driver-local exact Louvain objectives (modularity, CPM,
+    RBER, significance, surprise) on the partkey<=60 slice — one
+    objective-tagged union, each constituent replayed move by move by
+    its recursive-CTE oracle."""
+    parts = [
+        ("modularity", q_louvain_local),
+        ("cpm", q_louvain_cpm_local),
+        ("rber", q_louvain_rber_local),
+        ("significance", q_louvain_significance_local),
+        ("surprise", q_louvain_surprise_local),
+    ]
+    return _union_parts([
+        fn(spark, sf_dir).select(F.lit(tag).alias("objective"), "id", "comm")
+        for tag, fn in parts
+    ])
+
+
+def q_louvain_all(spark, sf_dir):
+    """All five distributed full Louvain runs (hash-gated sweeps +
+    collapse + local phase) on the full part graph — objective-tagged
+    union, rows-only at the driver gate (see q_louvain docstring); the
+    distributed SWEEP path itself is hash-oracled by louvain_det."""
+    parts = [
+        ("modularity", q_louvain),
+        ("cpm", q_louvain_cpm),
+        ("rber", q_louvain_rber),
+        ("significance", q_louvain_significance),
+        ("surprise", q_louvain_surprise),
+    ]
+    return _union_parts([
+        fn(spark, sf_dir).select(F.lit(tag).alias("objective"), "id", "comm")
+        for tag, fn in parts
+    ])
+
+
+def q_infomap_locals(spark, sf_dir):
+    """Driver-local exact Infomap, undirected + directed-with-teleport,
+    on the partkey<=60 slice — mode-tagged union of the two
+    recursive-CTE-oracled runs."""
+    a = q_infomap_local(spark, sf_dir).select(
+        F.lit("undirected").alias("mode"), "id", "comm")
+    b = q_infomap_directed_local(spark, sf_dir).select(
+        F.lit("directed").alias("mode"), "id", "comm")
+    return a.unionByName(b)
+
+
+def q_infomap_all(spark, sf_dir):
+    """Distributed full Infomap runs (undirected part graph + directed
+    orders graph) — mode-tagged union, rows-only (see q_infomap)."""
+    a = q_infomap(spark, sf_dir).select(
+        F.lit("undirected").alias("mode"), "id", "comm")
+    b = q_infomap_directed(spark, sf_dir).select(
+        F.lit("directed").alias("mode"), "id", "comm")
+    return a.unionByName(b)
+
+
+def q_louvain_det(spark, sf_dir):
+    """THE DISTRIBUTED LOUVAIN SWEEP PATH, hash-oracled end to end: one
+    `_distributed_level` (operators/louvain.py) on the full part graph
+    with the deterministic id-parity conflict gate
+    (parity_expr=pmod(id,2)) and move_floor=0 — the exact trick that
+    made lpa_full SQL-replayable. The oracle (_louvain_det_oracle)
+    replays every bulk sweep: per vertex the w(u→community) table, the
+    Σk2 community totals, the gain w_uc − (1/2m)·k2·tot_excl, the
+    (score desc, smallest-community) argmax, the parity move gate, and
+    the two-quiet-sweeps stop rule. All sums are of integer-valued
+    doubles and products associate identically, so scores are
+    bit-identical across engines and no eps-boundary drift is
+    possible."""
+    from communitydetection_jl_spark.functions.graph import canonicalize_undirected
+    from communitydetection_jl_spark.operators.louvain import _distributed_level
+
+    e = canonicalize_undirected(_part_edges(spark, sf_dir))
+    memb, _info = _distributed_level(
+        e, eps=1e-7, max_sweeps=8, move_floor=0.0,
+        parity_expr=F.pmod(F.col("id"), F.lit(2)),
+    )
+    return memb.select("id", "comm")
+
+
+def q_prob_metric(spark, sf_dir):
+    """Random-walk retention metric per community (prob_metric_graph /
+    prob_metric_cluster, ref src/metrics.jl:357-415) with the
+    DOCUMENTED semantics (the reference's recursion accumulates only
+    its first neighbor — a bug, SURVEY.md §7.7): 4 steps of the
+    community-restricted transition iteration over the brand partition
+    of the part graph, then per-community mean/std/var."""
+    from communitydetection_jl_spark.operators.community_metrics import (
+        prob_metric_graph,
+    )
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm"))
+    out = prob_metric_graph(e, memb, steps=4)
+    return _r6(out, "mean_p", "std_p", "var_p")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registered driver queries — kept UNDER the driver's ~50-row
+    sweep budget (43 entries) while covering every fine-grained
+    operator via the tagged merges above. Ordered with the merged /
+    newest families first."""
+    return {
+        # merged families + new rows first
+        "media_all": q_media_all,
+        "events_all": q_events_all,
+        "neardup_pairs": q_neardup_pairs,
+        "slpa": q_slpa,
+        "hlpa": q_hlpa,
+        "infomap_locals": q_infomap_locals,
+        "infomap_all": q_infomap_all,
+        "kclique": q_kclique,
+        "kclique3_counts": q_kclique3_counts,
+        "lang_prf": q_lang_prf,
+        "lpa_record": q_lpa_record,
+        "lpa_shard_async": q_lpa_shard_async,
+        "ann_ivf": q_ann_ivf,
+        "scores": q_scores,
+        "louvain_det": q_louvain_det,
+        "prob_metric": q_prob_metric,
+        "louvain_locals": q_louvain_locals,
+        "louvain_all": q_louvain_all,
+        # full iterative runs (recursive-CTE oracles)
+        "lpa_full": q_lpa_full,
+        "pagerank_full": q_pagerank_full,
+        # core per-operator rows
+        "components": q_components,
+        "pagerank_step": q_pagerank_step,
+        "lpa_step": q_lpa_step,
+        "degrees_all": q_degrees_all,
+        "trans_prob": q_trans_prob,
+        "trans_prob_undirected": q_trans_prob_undirected,
+        "visit_prob": q_visit_prob,
+        "dense_ids": q_dense_ids,
+        "renumber": q_renumber,
+        "contingency": q_contingency,
+        "collapse": q_collapse,
+        "modularity_terms": q_modularity_terms,
+        "ns_ms_cs": q_ns_ms_cs,
+        "community_metrics": q_community_metrics,
+        "clustering_coeff": q_clustering_coeff,
+        "fomd_odf": q_fomd_odf,
+        "partition_compare": q_partition_compare,
+        "exact_dup_groups": q_exact_dup_groups,
+        "textstats": q_textstats,
+        "ann_topk": q_ann_topk,
+        "triangle_cn": q_triangle_cn,
+        "triangle_counts": q_triangle_counts,
+        "similarity": q_similarity,
+    }
+
+
+def _queries_fine() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The pre-consolidation fine-grained surface (every operator its
+    own query) — used by scripts/check_oracles.py --fine to verify each
+    constituent of the merged rows individually."""
     return {
         "degrees": q_degrees,
         "degrees_undirected": q_degrees_undirected,
@@ -2995,7 +3340,11 @@ def _lsh_near_vectors_oracle() -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
+    """Per-operator oracle SQL, one entry per FINE-GRAINED query (the
+    pre-consolidation surface). oracle_sql() below composes these into
+    the registered driver queries — merged queries get tagged UNION ALL
+    wrappers so a single driver row hash-pins every constituent."""
     return {
         "degrees": f"""
             WITH e AS ({_ORDER_EDGES_SQL}),
@@ -3472,3 +3821,251 @@ def oracle_sql() -> dict[str, str]:
         "surprise_score": _surprise_oracle(),
         "rber_score": _rber_oracle(),
     }
+
+
+def _louvain_det_oracle() -> str:
+    """The distributed Louvain bulk-sweep loop (_move_sweep +
+    _distributed_level, operators/louvain.py) as a recursive CTE, for
+    the deterministic id-parity gate. Marker rows carry each vertex's
+    own community and strength through the single recursive reference;
+    window sums over the grouped scan rebuild the Σk2 community totals
+    (partition by candidate community: the marked member rows of that
+    community are exactly its membership), the per-vertex current
+    community and strength (partition by vertex). Scores replicate the
+    engine expression ((penalty·k2)·tot_excl left-association included)
+    on integer-valued doubles, so both engines compute bit-identical
+    gains; ties break to the smallest candidate community via struct
+    MAX, and the loop stops after two consecutive zero-move sweeps or 8
+    sweeps — the engine's move_floor=0 rule."""
+    return f"""
+        WITH RECURSIVE
+        e0 AS ({_PART_EDGES_SQL}),
+        e AS (SELECT src, dst, weight FROM e0 WHERE src <> dst),
+        sym AS (SELECT src, dst, weight FROM e
+                UNION ALL SELECT dst, src, weight FROM e),
+        vd AS (SELECT id, SUM(w) AS k2 FROM (
+                 SELECT src AS id, weight AS w FROM e0
+                 UNION ALL SELECT dst, weight FROM e0) GROUP BY 1),
+        pen AS (SELECT 1.0 / (2.0 * SUM(weight)) AS penalty FROM e0),
+        aug AS (SELECT src AS u, dst AS nid, weight AS w, FALSE AS mark,
+                       CAST(NULL AS DOUBLE) AS k2 FROM sym
+                UNION ALL SELECT id, id, NULL, TRUE, k2 FROM vd),
+        it AS (
+          SELECT 0 AS k, id, CAST(id AS BIGINT) AS c,
+                 CAST(1 AS BIGINT) AS moved, CAST(1 AS BIGINT) AS prevmoved
+          FROM vd
+          UNION ALL
+          SELECT k + 1 AS k, u AS id, new_c AS c,
+                 SUM(CASE WHEN new_c <> cu THEN 1 ELSE 0 END) OVER () AS moved,
+                 moved0 AS prevmoved
+          FROM (
+            SELECT u, k, moved0, cu,
+                   CASE WHEN best.s IS NOT NULL
+                         AND best.s - COALESCE(base, 0.0) > 1e-7
+                         AND u % 2 = k % 2
+                        THEN best.c ELSE cu END AS new_c
+            FROM (
+              SELECT *,
+                MAX(CASE WHEN cand = cu AND w_uc IS NOT NULL THEN score END)
+                  OVER (PARTITION BY u) AS base,
+                MAX(CASE WHEN cand <> cu AND w_uc IS NOT NULL
+                         THEN {{'s': score, 'nc': -cand, 'c': cand}} END)
+                  OVER (PARTITION BY u) AS best
+              FROM (
+                SELECT u, cand, k, moved0, w_uc, is_cur,
+                       w_uc - ((SELECT penalty FROM pen) * k2u) *
+                         (CASE WHEN cand = cu THEN tot - k2u ELSE tot END)
+                         AS score, cu
+                FROM (
+                  SELECT u, cand, k, moved0, w_uc, is_cur,
+                         SUM(k2_self) OVER (PARTITION BY cand) AS tot,
+                         MAX(CASE WHEN is_cur THEN cand END)
+                           OVER (PARTITION BY u) AS cu,
+                         MAX(k2_self) OVER (PARTITION BY u) AS k2u
+                  FROM (
+                    SELECT a.u AS u, it.c AS cand, MAX(it.k) AS k,
+                           MAX(it.moved) AS moved0,
+                           SUM(CASE WHEN NOT a.mark THEN a.w END) AS w_uc,
+                           BOOL_OR(a.mark) AS is_cur,
+                           MAX(CASE WHEN a.mark THEN a.k2 END) AS k2_self
+                    FROM it JOIN aug a ON it.id = a.nid
+                    WHERE it.k < 8 AND NOT (it.moved = 0 AND it.prevmoved = 0)
+                    GROUP BY a.u, it.c
+                  ) g
+                ) win
+              ) sc
+            ) sc2
+            WHERE is_cur
+          ) pick
+        )
+        SELECT id, c AS comm FROM it WHERE k = (SELECT MAX(k) FROM it)
+    """
+
+
+def _prob_metric_oracle() -> str:
+    """4 steps of the community-restricted walk retention iteration
+    p_k(v) = (1/deg v)·Σ_(w∈N(v)∩C) p_(k−1)(w) over the brand
+    partition, then per-community mean / sample-std / sample-var —
+    the documented prob_metric semantics (ref src/metrics.jl:357-415)."""
+    return f"""
+        WITH RECURSIVE
+        e AS ({_PART_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src AS id, COUNT(*) * 1.0 AS deg FROM sym GROUP BY 1),
+        m AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+        intra AS (SELECT s.dst AS v, s.src AS w
+                  FROM sym s JOIN m ma ON s.src = ma.id
+                             JOIN m mb ON s.dst = mb.id
+                  WHERE ma.comm = mb.comm),
+        aug AS (SELECT v, w, FALSE AS mark, CAST(NULL AS DOUBLE) AS deg
+                FROM intra
+                UNION ALL
+                SELECT m.id, m.id, TRUE, COALESCE(d.deg, 0.0)
+                FROM m LEFT JOIN deg d ON m.id = d.id),
+        walk AS (
+          -- NB the base term FIXES the recursive column types: p must
+          -- be CAST AS DOUBLE or DuckDB types it DECIMAL(2,1) from the
+          -- bare 1.0 literal and silently rounds every step to one
+          -- decimal place
+          SELECT 0 AS k, id, CAST(1.0 AS DOUBLE) AS p FROM m
+          UNION ALL
+          SELECT k + 1 AS k, v AS id,
+                 CASE WHEN dv > 0 THEN COALESCE(s, 0.0) / dv
+                      ELSE 0.0 END AS p
+          FROM (
+            SELECT a.v, MAX(walk.k) AS k,
+                   SUM(CASE WHEN NOT a.mark THEN walk.p END) AS s,
+                   MAX(CASE WHEN a.mark THEN a.deg END) AS dv
+            FROM walk JOIN aug a ON walk.id = a.w
+            WHERE walk.k < 4
+            GROUP BY a.v
+          ) g
+        )
+        SELECT m.comm, COUNT(*) AS n_members,
+               ROUND(AVG(p), 6) AS mean_p,
+               ROUND(STDDEV_SAMP(p), 6) AS std_p,
+               ROUND(VAR_SAMP(p), 6) AS var_p
+        FROM walk JOIN m USING (id) WHERE k = 4 GROUP BY m.comm
+    """
+
+
+def oracle_sql() -> dict[str, str]:
+    """Oracle SQL for the REGISTERED queries(): fine-grained entries
+    pass through from _oracle_sql_base(); merged families become the
+    identical tagged UNION ALL of their constituents' SQL (same tags,
+    same casts, same column names as the Spark side)."""
+    base = _oracle_sql_base()
+
+    def wrap(sql: str, tag_col: str, tag: str, cols: str) -> str:
+        return (f"SELECT '{tag}' AS {tag_col}, {cols} "
+                f"FROM ({sql}) _m_{tag}")
+
+    def union(parts: list[str]) -> str:
+        return "\nUNION ALL\n".join(parts)
+
+    out = {
+        k: base[k] for k in [
+            "slpa", "hlpa", "kclique", "kclique3_counts", "lang_prf",
+            "lpa_record", "lpa_shard_async", "ann_ivf", "lpa_full",
+            "pagerank_full", "components", "pagerank_step", "lpa_step",
+            "trans_prob", "trans_prob_undirected", "visit_prob",
+            "dense_ids", "renumber", "contingency", "collapse",
+            "modularity_terms", "ns_ms_cs", "community_metrics",
+            "clustering_coeff", "fomd_odf", "partition_compare",
+            "exact_dup_groups", "ann_topk", "triangle_cn",
+            "triangle_counts", "similarity",
+        ]
+    }
+
+    out["scores"] = union([
+        wrap(base[key], "name", tag, f"CAST({col} AS DOUBLE) AS value")
+        for tag, _fn, key, col in _SCORE_PARTS
+    ])
+
+    out["degrees_all"] = union([
+        wrap(base["degrees"], "part", "directed",
+             "id, CAST(out_deg AS DOUBLE) AS n1, CAST(in_deg AS DOUBLE) AS n2, "
+             "out_strength AS n3, in_strength AS n4"),
+        wrap(base["degrees_undirected"], "part", "undirected",
+             "id, CAST(deg AS DOUBLE) AS n1, 0.0 AS n2, 0.0 AS n3, 0.0 AS n4"),
+        wrap(base["salted_degrees"], "part", "salted",
+             "id, strength AS n1, 0.0 AS n2, 0.0 AS n3, 0.0 AS n4"),
+    ])
+
+    out["textstats"] = union([
+        wrap(base["token_count"], "part", "tokens",
+             "id, CAST(ws_tokens AS DOUBLE) AS n1, 0.0 AS n2, 0.0 AS n3, "
+             "'' AS s"),
+        wrap(base["text_quality"], "part", "quality",
+             "id, CAST(n_chars AS DOUBLE) AS n1, alpha_ratio AS n2, "
+             "punct_ratio AS n3, '' AS s"),
+        wrap(base["fingerprint"], "part", "fingerprint",
+             "id, 0.0 AS n1, 0.0 AS n2, 0.0 AS n3, fp AS s"),
+        wrap(base["lang_id"], "part", "lang",
+             "id, 0.0 AS n1, 0.0 AS n2, 0.0 AS n3, pred_lang AS s"),
+    ])
+
+    out["neardup_pairs"] = union([
+        wrap(base["minhash_pairs"], "method", "minhash",
+             "id_a, id_b, est_jaccard AS val"),
+        wrap(base["jaccard_pairs"], "method", "jaccard",
+             "id_a, id_b, jaccard AS val"),
+        wrap(base["simhash_pairs"], "method", "simhash",
+             "id_a, id_b, CAST(hamming AS DOUBLE) AS val"),
+        wrap(base["lsh_near_vectors"], "method", "lsh_vec",
+             "id_a, id_b, cosine_r AS val"),
+    ])
+
+    out["media_all"] = union([
+        wrap(base["media_image"], "part", "image",
+             "id, CAST(0 AS BIGINT) AS k2, CAST(width AS DOUBLE) AS n1, "
+             "CAST(height AS DOUBLE) AS n2, mean_r AS n3, mean_g AS n4, "
+             "mean_b AS n5, 0.0 AS n6, 0.0 AS n7, 0.0 AS n8"),
+        wrap(base["media_audio"], "part", "audio",
+             "id, CAST(0 AS BIGINT) AS k2, CAST(sample_rate AS DOUBLE) AS n1, "
+             "CAST(n_frames AS DOUBLE) AS n2, duration AS n3, rms AS n4, "
+             "0.0 AS n5, 0.0 AS n6, 0.0 AS n7, 0.0 AS n8"),
+        wrap(base["media_video"], "part", "video",
+             "id, CAST(0 AS BIGINT) AS k2, CAST(width AS DOUBLE) AS n1, "
+             "CAST(height AS DOUBLE) AS n2, CAST(n_frames AS DOUBLE) AS n3, "
+             "CAST(fps AS DOUBLE) AS n4, duration AS n5, mean_r AS n6, "
+             "mean_g AS n7, mean_b AS n8"),
+        wrap(base["media_frames"], "part", "frames",
+             "id, CAST(frame_idx AS BIGINT) AS k2, CAST(width AS DOUBLE) AS n1, "
+             "CAST(height AS DOUBLE) AS n2, mean_r AS n3, mean_g AS n4, "
+             "mean_b AS n5, 0.0 AS n6, 0.0 AS n7, 0.0 AS n8"),
+    ])
+
+    out["events_all"] = union([
+        wrap(base["events_windows"], "part", "windows",
+             "CAST(window_start AS VARCHAR) AS k1, event_type AS k2, "
+             "CAST(n_events AS DOUBLE) AS n1, total_value AS n2, "
+             "CAST(n_users AS DOUBLE) AS n3, 0.0 AS n4, 0.0 AS n5"),
+        wrap(base["events_sessions"], "part", "sessions",
+             "CAST(user_id AS VARCHAR) AS k1, CAST(session_idx AS VARCHAR) AS k2, "
+             "start_ts AS n1, end_ts AS n2, duration AS n3, "
+             "CAST(n_events AS DOUBLE) AS n4, total_value AS n5"),
+        wrap(base["events_props"], "part", "props",
+             "event_type AS k1, '' AS k2, CAST(n AS DOUBLE) AS n1, "
+             "avg_k AS n2, CAST(max_k AS DOUBLE) AS n3, 0.0 AS n4, 0.0 AS n5"),
+    ])
+
+    out["louvain_locals"] = union([
+        wrap(base["louvain_local"], "objective", "modularity", "id, comm"),
+        wrap(base["louvain_cpm_local"], "objective", "cpm", "id, comm"),
+        wrap(base["louvain_rber_local"], "objective", "rber", "id, comm"),
+        wrap(base["louvain_significance_local"], "objective", "significance",
+             "id, comm"),
+        wrap(base["louvain_surprise_local"], "objective", "surprise",
+             "id, comm"),
+    ])
+
+    out["infomap_locals"] = union([
+        wrap(base["infomap_local"], "mode", "undirected", "id, comm"),
+        wrap(base["infomap_directed_local"], "mode", "directed", "id, comm"),
+    ])
+
+    out["louvain_det"] = _louvain_det_oracle()
+    out["prob_metric"] = _prob_metric_oracle()
+    # louvain_all / infomap_all stay rows-only (see their docstrings)
+    return out

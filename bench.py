@@ -177,6 +177,8 @@ def main() -> None:
     )
     extras["lpa_iter_seconds"] = [round(s, 2) for s in lpa_res.iter_seconds]
     extras["lpa_superstep_min_sec"] = round(min(lpa_res.iter_seconds), 3)
+    extras["lpa_changed_history"] = lpa_res.changed_history
+    extras["lpa_delta_from"] = lpa_res.delta_from
 
     timed("web_components", lambda: connected_components(
         web_edges, mode=bench_mode).count())
@@ -198,7 +200,15 @@ def main() -> None:
     timed("part_triangle_cn", lambda: edge_common_neighbors(part_edges)
           .agg(F.sum("cn")).collect())
     timed("part_lpa", lambda: lpa(part_edges, max_iter=20).labels.count())
-    timed("part_louvain", lambda: louvain(part_edges).membership.count())
+    def _run_louvain():
+        res = louvain(part_edges)
+        res.membership.count()
+        return res
+
+    lv_res = timed("part_louvain", _run_louvain)
+    # per-level diagnostics (sweeps, per-sweep seconds/moved, parts) —
+    # the round-3 +35% regression was invisible without them
+    extras["part_louvain_levels"] = lv_res.history
     timed("orders_pagerank", lambda: pagerank(
         _orders_edges(spark, sf_dir), tol=1e-6, max_iter=50).ranks.count())
     timed("orders_components", lambda: connected_components(

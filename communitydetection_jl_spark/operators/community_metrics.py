@@ -211,3 +211,115 @@ def triangle_participation_ratio(edges: DataFrame, membership: DataFrame) -> Dat
         .groupBy("comm")
         .agg(F.avg(F.col("in_triangle").cast("double")).alias("tpr"))
     )
+
+
+def prob_metric_graph(
+    edges: DataFrame,
+    membership: DataFrame,
+    steps: int | None = None,
+    max_steps: int = 64,
+) -> DataFrame:
+    """Random-walk retention metric per community (prob_metric_graph /
+    prob_metric_cluster, ref src/metrics.jl:357-415): the probability
+    that a walker started at v ∈ C, taking uniform steps over ALL
+    neighbors, has stayed inside C at every step, after n steps.
+    Returns (comm, n_members, mean_p, std_p, var_p) — std/var are the
+    reference's Julia std/var (sample, n−1 denominator; NULL for
+    singleton communities where Julia yields NaN).
+
+    Semantics note: this implements the reference's DOCUMENTED
+    semantics (its docstring + the n==1 base case). The reference's
+    recursive accumulation loop returns after the FIRST neighbor
+    (src/metrics.jl:374-381 — `return totalP` inside the for body), so
+    its n>1 values are a bug, per SURVEY.md §7.7; here the recursion is
+    the full community-restricted transition iteration
+    p_k(v) = (1/deg v)·Σ_{w∈N(v)∩C} p_{k−1}(w), p_0 ≡ 1, which reduces
+    to iterated sparse mat-vec over the community-restricted transition
+    matrix — each iteration ONE co-partitioned join + groupBy, never a
+    dense matrix.
+
+    ``steps``: walk length for every community; None = the reference's
+    normalization (n = community size), capped at ``max_steps`` — at
+    web scale a 1e6-member community would otherwise demand 1e6
+    supersteps for a value that is astronomically small; the cap is the
+    documented "some other, better value" escape hatch of the
+    reference's own docstring.
+    """
+    from ..functions.graph import materialize_iter
+
+    lbl = membership.columns[1]
+    memb = membership.select("id", F.col(lbl).alias("comm"))
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    # community-restricted arcs, listener-keyed: (dst=v, src=w) both in C
+    intra = (
+        sym.join(memb.withColumnRenamed("id", "src")
+                 .withColumnRenamed("comm", "c_s"), "src")
+        .join(memb.withColumnRenamed("id", "dst")
+              .withColumnRenamed("comm", "c_d"), "dst")
+        .filter(F.col("c_s") == F.col("c_d"))
+        .select(F.col("dst").alias("v"), F.col("src").alias("w"))
+    )
+    intra = materialize_iter(intra)
+    sizes = memb.groupBy("comm").agg(F.count(F.lit(1)).alias("n_members"))
+    if steps is not None:
+        ksteps = F.lit(int(steps))
+    else:
+        ksteps = F.least(F.col("n_members"), F.lit(int(max_steps)))
+    # state: (id, comm, p, k_target); p_0 = 1 for every member
+    state = materialize_iter(
+        memb.join(sizes, "comm")
+        .join(deg, "id", "left")
+        .select(
+            "id", "comm", F.lit(1.0).alias("p"),
+            ksteps.alias("k_target"),
+            F.coalesce("deg", F.lit(0)).cast("double").alias("deg"),
+        )
+    )
+    k = 0
+    while True:
+        remaining = state.filter(F.col("k_target") > k)
+        if remaining.isEmpty():
+            break
+        k += 1
+        gathered = (
+            remaining.withColumnRenamed("id", "w")
+            .join(intra, "w")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("p").alias("msg"))
+        )
+        stepped = (
+            remaining.select("id", "comm", "k_target", "deg")
+            .join(gathered, "id", "left")
+            .select(
+                "id", "comm",
+                F.when(F.col("deg") > 0,
+                       F.coalesce("msg", F.lit(0.0)) / F.col("deg"))
+                .otherwise(F.lit(0.0)).alias("p"),
+                "k_target", "deg",
+            )
+        )
+        state = materialize_iter(
+            stepped.unionByName(state.filter(F.col("k_target") <= k - 1))
+        )
+    return state.groupBy("comm").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.avg("p").alias("mean_p"),
+        F.stddev_samp("p").alias("std_p"),
+        F.var_samp("p").alias("var_p"),
+    )
+
+
+def prob_metric_cluster(edges: DataFrame, members: DataFrame,
+                        steps: int | None = None) -> tuple:
+    """Single-community form (ref src/metrics.jl:384-391): (mean, std,
+    var) of the retention probabilities of ``members`` (a one-column
+    id frame). Delegates to prob_metric_graph with a constant label."""
+    memb = members.select(F.col(members.columns[0]).alias("id"),
+                          F.lit(0).alias("comm"))
+    row = prob_metric_graph(edges, memb, steps=steps).collect()[0]
+    return row["mean_p"], row["std_p"], row["var_p"]

@@ -292,12 +292,19 @@ def _strengths(edges: DataFrame) -> DataFrame:
 
 
 def _move_sweep(edges: DataFrame, memb: DataFrame, aux: DataFrame,
-                penalty: float, parity: int, eps: float) -> DataFrame:
+                penalty: float, parity: int, eps: float,
+                parity_expr=None) -> DataFrame:
     """One bulk gain-scoring sweep; returns updated (id, comm).
 
     ``aux`` is (id, k2): per-vertex null-model mass (strength for
     modularity/RB-configuration, node size for CPM); the gain for u→c is
-    w_to(c) − penalty·k2_u·tot2(c∖u)."""
+    w_to(c) − penalty·k2_u·tot2(c∖u).
+
+    ``parity_expr`` overrides the default structure-blind xxhash64
+    conflict gate with an explicit expression over ``id`` (e.g.
+    ``pmod(id, 2)``) — the same trick that makes lpa_full SQL-oracle
+    reproducible (the driver's louvain_det row replays these bulk
+    sweeps move set by move set in a recursive CTE)."""
     mm = memb.select("id", F.col("comm").alias("c"))
     e = with_weight(edges).filter(F.col("src") != F.col("dst"))
     sym = e.select("src", "dst", "weight").unionByName(
@@ -333,10 +340,11 @@ def _move_sweep(edges: DataFrame, memb: DataFrame, aux: DataFrame,
             F.max(F.col("score")).alias("best_score"),
         )
     )
+    pexpr = parity_expr if parity_expr is not None else F.pmod(F.xxhash64("id"), F.lit(2))
     new_c = (
         F.when(
             (F.col("best_score") - F.coalesce("base", F.lit(0.0)) > eps)
-            & (F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(parity)),
+            & (pexpr == F.lit(parity)),
             F.col("best_c"),
         )
         .otherwise(F.col("c"))
@@ -358,7 +366,8 @@ def _kl_col(q, p):
 
 def _move_sweep_set(edges: DataFrame, memb: DataFrame, sizes: DataFrame,
                     parity: int, eps: float, objective: str,
-                    density: float, n_total: float, m_total: float) -> DataFrame:
+                    density: float, n_total: float, m_total: float,
+                    parity_expr=None) -> DataFrame:
     """One bulk sweep for the set-based objectives (Significance /
     Surprise): per (vertex, neighbor-community) candidate the exact
     objective delta is a column expression over (w_to(cand), w_to(cur),
@@ -458,10 +467,11 @@ def _move_sweep_set(edges: DataFrame, memb: DataFrame, sizes: DataFrame,
             F.max("gain").alias("best_gain"),
         )
     )
+    pexpr = parity_expr if parity_expr is not None else F.pmod(F.xxhash64("id"), F.lit(2))
     new_c = (
         F.when(
             (F.col("best_gain") > eps)
-            & (F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(parity)),
+            & (pexpr == F.lit(parity)),
             F.col("best_c"),
         ).otherwise(F.col("c"))
     )
@@ -476,7 +486,8 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                        level: int = 0, objective: str = "modularity",
                        gamma: float = 1.0,
                        node_sizes: DataFrame | None = None,
-                       base_scalars: dict | None = None) -> DataFrame:
+                       base_scalars: dict | None = None,
+                       parity_expr=None) -> DataFrame:
     """Run bulk move sweeps on one level until (nearly) no vertex moves.
 
     ``move_floor`` is the reference's δ move floor (src/Optimiser.jl:148):
@@ -484,7 +495,12 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     residual moves are polished by later levels / the local phase.
 
     Per sweep ONE action (plans/iterstate.py): the membership write
-    carries the moved-count as an observe() metric."""
+    carries the moved-count as an observe() metric.
+
+    Returns (membership, info) where info carries the per-level
+    diagnostics the bench surfaces (sweep count, per-sweep seconds and
+    moved counts, partition count) — the part_louvain regression in
+    round 3 was invisible without them."""
     from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
 
     spark = edges.sparkSession
@@ -510,9 +526,11 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
         # exchange re-aligning them
         memb = loop.init(verts.select("id", F.col("id").alias("comm")))
         n = memb.count()
+        info = {"parts": parts, "sweeps": 0, "sweep_seconds": [],
+                "sweep_moved": []}
         if m <= 0:
             loop.cleanup(keep_final=True)
-            return memb
+            return memb, info
         setbased = objective in ("significance", "surprise")
         if objective == "cpm":
             aux = (node_sizes or verts.select("id", F.lit(1.0).alias("k2"))).select(
@@ -537,16 +555,20 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                     plan = _move_sweep_set(
                         edges, memb.select("id", "comm"), aux, sweep % 2, eps,
                         objective, bs.get("density", 0.0),
-                        bs.get("n_total", float(n)), bs.get("m_total", m))
+                        bs.get("n_total", float(n)), bs.get("m_total", m),
+                        parity_expr=parity_expr)
                 else:
                     plan = _move_sweep(edges, memb.select("id", "comm"), aux,
-                                       penalty, sweep % 2, eps)
+                                       penalty, sweep % 2, eps,
+                                       parity_expr=parity_expr)
                 memb, got = loop.step(
                     plan,
                     {"moved": F.sum(F.col("moved").cast("long"))},
                     write_cols=["id", "comm"],
                 )
                 moved = int(got.get("moved") or 0)
+                info["sweeps"] = sweep + 1
+                info["sweep_moved"].append(moved)
                 if ledger is not None:
                     ledger.record(sweep, {"level": level, "moved": moved})
                 if moved <= move_floor * n:
@@ -555,9 +577,10 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                         break
                 else:
                     low_streak = 0
+    info["sweep_seconds"] = [round(t, 3) for t in loop.timings]
     aux.unpersist()
     loop.cleanup(keep_final=True)
-    return memb.select("id", "comm")
+    return memb.select("id", "comm"), info
 
 
 @dataclass
@@ -673,18 +696,19 @@ def louvain(
             levels += 1
             history.append({"level": level, "edges": m_edges, "mode": "local"})
             break
-        lvl = _distributed_level(cur_edges, eps, max_sweeps,
-                                 move_floor=move_floor, ledger=ledger,
-                                 level=level, objective=objective, gamma=gamma,
-                                 node_sizes=sizes.withColumnRenamed("nsize", "k2"),
-                                 base_scalars=base_scalars)
+        lvl, lvl_info = _distributed_level(
+            cur_edges, eps, max_sweeps,
+            move_floor=move_floor, ledger=ledger,
+            level=level, objective=objective, gamma=gamma,
+            node_sizes=sizes.withColumnRenamed("nsize", "k2"),
+            base_scalars=base_scalars)
         n_before = lvl.count()
         n_after = lvl.select("comm").distinct().count()
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)
         memb = materialize_iter(memb)  # truncate the level-join chain
         levels += 1
         entry = {"level": level, "edges": m_edges, "mode": "distributed",
-                 "n": n_before, "q": n_after}
+                 "n": n_before, "q": n_after, **lvl_info}
         if record_quality:
             # per-level objective value of the composed membership —
             # the hlpa_record_Q / ledger analogue (src/hlpa.jl:202-257)

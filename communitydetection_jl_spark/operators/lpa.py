@@ -43,6 +43,7 @@ same job. Three tricks keep the plan narrow:
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -59,6 +60,9 @@ class LPAResult:
     iterations: int
     changed_history: list = field(default_factory=list)
     iter_seconds: list = field(default_factory=list)
+    # first superstep (1-based) that ran in incremental (delta-counts)
+    # mode; None = the run never engaged it
+    delta_from: int | None = None
 
 
 def lpa_superstep(
@@ -207,6 +211,9 @@ def label_propagation(
     mode: str = "dir",
     state_name: str = "lpa_state",
     parity_expr=None,
+    delta: bool = True,
+    delta_msgs_frac: float = 0.25,
+    delta_bcast_max: int = 2_000_000,
 ) -> LPAResult:
     """Run LPA to fixpoint. ``cn_bonus=True`` gives nsdlpa
     (src/label_propagation.jl:77-96); ``weighted=True`` uses edge
@@ -215,7 +222,28 @@ def label_propagation(
     ``frontier=True`` switches to broadcast-filtered gathers once the
     observed mover count drops below ``frontier_max`` — exact under
     sticky tie-breaking (a vertex whose vote multiset is unchanged
-    keeps its label)."""
+    keeps its label).
+
+    ``delta=True`` (unit-vote CSR tables mode only) switches mid-run to
+    the INCREMENTAL superstep: a bucketed (id, lbl, cnt) neighbor-label
+    count table is maintained from the movers' adjacency only — per
+    mover v, every listener u of v gets cnt(u, old_lbl) −= 1,
+    cnt(u, new_lbl) += 1 — instead of re-gathering all 2m messages.
+    Integer counts make it EXACTLY equivalent to the full
+    re-aggregation (pytest pins label-by-label equality; the lpa_full
+    recursive-CTE oracle pins the semantics the counts reproduce), so
+    the switch is pure execution strategy. Cost per superstep drops
+    from O(2m) gathered messages to O(Σdeg(movers) + |counts|);
+    the counts table starts at ~2m rows and shrinks toward n as labels
+    consolidate, so the switch is gated on the OBSERVED mover-degree
+    bound (the same fbound metric that gates the frontier broadcast):
+    engage when Σ(deg+1 of movers) + wants ≤ ``delta_msgs_frac``·2m.
+    Movers are broadcast to the bucketed CSR table (zero exchange);
+    a later burst above ``delta_bcast_max`` movers drops back to the
+    full gather (counts rebuilt if the gate re-engages). A map-typed
+    per-vertex counts column is deliberately NOT used: at engage time a
+    1e7-in-degree web hub would hold a 1e7-entry map in one row — the
+    unbounded-row failure the CSR chunk cap exists to prevent."""
     spark = edges.sparkSession
     import os as _os
 
@@ -273,6 +301,7 @@ def label_propagation(
                     F.col("id").alias("lbl"),
                     F.lit(True).alias("changed"),
                     F.lit(False).alias("wants"),
+                    F.col("id").alias("prev"),
                     "deg",
                 )
             )
@@ -301,65 +330,164 @@ def label_propagation(
                     "lbl",
                     F.lit(True).alias("changed"),
                     F.lit(False).alias("wants"),
+                    F.col("lbl").alias("prev"),
                     F.coalesce("deg", F.lit(0)).alias("deg"),
                 )
             )
 
     changed_history: list[int] = []
+    iter_secs: list[float] = []
     it = start_iter
     changed_cnt = wants_cnt = None  # unknown -> full gather
     frontier_bound = None
+    delta_ok = delta and csr and unit and mode == "tables" \
+        and "prev" in state.columns
+    counts = None            # delta mode: materialized (id, lbl, cnt)
+    counts_loop = None
+    counts_fresh = False     # just (re)built from current labels?
+    total_msgs = None        # 2m = Σdeg, denominator of the delta gate
+    delta_from = None
     # shuffle partitions = bucket count keeps the gather agg and the
     # state join co-partitioned with zero extra exchange (restored via
     # context manager even if a superstep raises)
     with shuffle_parts(spark, P), no_aqe(spark):
         while it < max_iter:
+            t_it = _time.time()
             parity = it % 2 if semi_sync else None
             it += 1
 
-            gather_sym = sym
-            active_set = None
-            small_frontier = (
-                frontier
-                and changed_cnt is not None
-                and frontier_bound is not None
-                and (frontier_bound + wants_cnt) <= frontier_max
-            )
-            if small_frontier:
-                movers = state.filter("changed").select("id")
-                gated = state.filter("wants and not changed").select("id")
-                if csr:
-                    nbrs = sym.join(
-                        F.broadcast(movers.withColumnRenamed("id", "dst")),
-                        "dst", "left_semi",
-                    ).select(F.explode("srcs").alias("id"))
-                else:
-                    nbrs = sym.join(
-                        F.broadcast(movers.withColumnRenamed("id", "dst")),
-                        "dst", "left_semi",
-                    ).select(F.col("src").alias("id"))
-                active = (
-                    nbrs.unionByName(movers).unionByName(gated).distinct()
-                )
-                if csr:
-                    # CSR rows can't be pre-filtered by listener; the
-                    # broadcast filter applies right after the explode
-                    active_set = active
-                else:
-                    gather_sym = sym.join(
-                        F.broadcast(active.withColumnRenamed("id", "src")),
-                        "src",
-                        "left_semi",
-                    )
+            if counts is not None and changed_cnt > delta_bcast_max:
+                # mover burst: the broadcast delta join would no longer
+                # be safe — fall back to the full gather (the gate below
+                # rebuilds the counts table if it re-engages)
+                counts = None
 
-            stepped = lpa_superstep(
-                gather_sym,
-                state.select("id", "lbl"),
-                sticky=sticky,
-                active_parity=parity,
-                parity_expr=parity_expr,
-                active=active_set,
-            ).join(state.select("id", "deg"), "id")
+            if counts is not None:
+                # ---- incremental superstep over the counts table ----
+                if delta_from is None:
+                    delta_from = it
+                if counts_fresh:
+                    # the table was built from the CURRENT labels (the
+                    # engage-time snapshot already reflects the last
+                    # superstep's moves) — applying those movers' deltas
+                    # again would double-count them
+                    counts_fresh = False
+                elif changed_cnt > 0:
+                    movers = state.filter("changed").select(
+                        F.col("id").alias("dst"),
+                        F.col("prev").alias("old_lbl"),
+                        F.col("lbl").alias("new_lbl"),
+                    )
+                    upd = (
+                        sym.join(F.broadcast(movers), "dst")
+                        .select(
+                            F.explode("srcs").alias("id"),
+                            "old_lbl", "new_lbl",
+                        )
+                        .select(
+                            "id",
+                            F.explode(F.array(
+                                F.struct(
+                                    F.col("old_lbl").alias("lbl"),
+                                    F.lit(-1).cast("long").alias("cnt"),
+                                ),
+                                F.struct(
+                                    F.col("new_lbl").alias("lbl"),
+                                    F.lit(1).cast("long").alias("cnt"),
+                                ),
+                            )).alias("d"),
+                        )
+                        .select("id", "d.lbl", "d.cnt")
+                    )
+                    merged = (
+                        counts.select("id", "lbl", "cnt")
+                        .unionByName(upd)
+                        .repartition(P, "id")
+                        .groupBy("id", "lbl")
+                        .agg(F.sum("cnt").alias("cnt"))
+                        .filter(F.col("cnt") > 0)
+                    )
+                    counts, _ = counts_loop.step(merged, {})
+                # argmax over the maintained counts: both sides bucketed
+                # by id, zero exchange
+                j = counts.join(
+                    state.select("id", F.col("lbl").alias("cur_lbl")), "id"
+                )
+                best = j.groupBy("id").agg(
+                    F.max(F.struct(
+                        F.col("cnt"),
+                        ((F.col("lbl") == F.col("cur_lbl")).cast("int")
+                         if sticky else F.lit(0)).alias("t1"),
+                        (-F.col("lbl")).alias("t2"),
+                        F.col("lbl").alias("lbl"),
+                    )).alias("_want")
+                ).select("id", F.col("_want.lbl").alias("want_lbl"))
+                base = state.select(
+                    "id", F.col("lbl").alias("cur_lbl"), "deg")
+                want = F.coalesce("want_lbl", F.col("cur_lbl"))
+                if parity is not None:
+                    pexpr = parity_expr if parity_expr is not None \
+                        else F.pmod(F.xxhash64("id"), F.lit(2))
+                    new_lbl = F.when(
+                        pexpr == F.lit(parity), want
+                    ).otherwise(F.col("cur_lbl"))
+                else:
+                    new_lbl = want
+                stepped = base.join(best, "id", "left").select(
+                    "id",
+                    new_lbl.alias("lbl"),
+                    (new_lbl != F.col("cur_lbl")).alias("changed"),
+                    (want != F.col("cur_lbl")).alias("wants"),
+                    F.col("cur_lbl").alias("prev"),
+                    "deg",
+                )
+            else:
+                gather_sym = sym
+                active_set = None
+                small_frontier = (
+                    frontier
+                    and changed_cnt is not None
+                    and frontier_bound is not None
+                    and (frontier_bound + wants_cnt) <= frontier_max
+                )
+                if small_frontier:
+                    movers = state.filter("changed").select("id")
+                    gated = state.filter("wants and not changed").select("id")
+                    if csr:
+                        nbrs = sym.join(
+                            F.broadcast(movers.withColumnRenamed("id", "dst")),
+                            "dst", "left_semi",
+                        ).select(F.explode("srcs").alias("id"))
+                    else:
+                        nbrs = sym.join(
+                            F.broadcast(movers.withColumnRenamed("id", "dst")),
+                            "dst", "left_semi",
+                        ).select(F.col("src").alias("id"))
+                    active = (
+                        nbrs.unionByName(movers).unionByName(gated).distinct()
+                    )
+                    if csr:
+                        # CSR rows can't be pre-filtered by listener; the
+                        # broadcast filter applies right after the explode
+                        active_set = active
+                    else:
+                        gather_sym = sym.join(
+                            F.broadcast(active.withColumnRenamed("id", "src")),
+                            "src",
+                            "left_semi",
+                        )
+
+                stepped = lpa_superstep(
+                    gather_sym,
+                    state.select("id", "lbl"),
+                    sticky=sticky,
+                    active_parity=parity,
+                    parity_expr=parity_expr,
+                    active=active_set,
+                ).join(
+                    state.select(
+                        "id", F.col("lbl").alias("prev"), "deg"), "id"
+                )
             state, got = loop.step(
                 stepped,
                 {
@@ -375,8 +503,33 @@ def label_propagation(
             wants_cnt = int(got.get("wants") or 0)
             frontier_bound = int(got.get("fbound") or 0)
             changed_history.append(changed_cnt)
+            iter_secs.append(_time.time() - t_it)
             if changed_cnt == 0 and wants_cnt == 0:
                 break
+            if (
+                delta_ok
+                and counts is None
+                and changed_cnt <= delta_bcast_max
+            ):
+                if total_msgs is None:
+                    total_msgs = int(
+                        state.agg(F.sum("deg")).collect()[0][0] or 0)
+                if frontier_bound + wants_cnt <= delta_msgs_frac * total_msgs:
+                    # engage: ONE full gather builds the counts table
+                    if counts_loop is None:
+                        counts_loop = StateLoop(
+                            spark, f"{state_name}_cnt", mode="tables",
+                            bucket_key="id", parts=P)
+                    gather0 = sym.join(
+                        state.select(F.col("id").alias("dst"), "lbl"), "dst"
+                    ).select(F.explode("srcs").alias("id"), "lbl")
+                    counts = counts_loop.init(
+                        gather0.repartition(P, "id")
+                        .groupBy("id", "lbl")
+                        .agg(F.count(F.lit(1)).alias("cnt")),
+                        start_iter=it,
+                    )
+                    counts_fresh = True
 
     if mode != "tables":
         sym.unpersist()
@@ -385,8 +538,12 @@ def label_propagation(
     out = state.select("id", F.col("lbl").alias("comm"))
     if renumber:
         out = permute_labels(out)
+    if counts_loop is not None:
+        counts_loop.cleanup()
     loop.cleanup(keep_final=True)
-    return LPAResult(out, it, changed_history, list(loop.timings))
+    # iter_secs covers the WHOLE superstep (counts maintenance + state
+    # write in delta mode), not just the state-loop action
+    return LPAResult(out, it, changed_history, iter_secs, delta_from)
 
 
 def permute_labels(membership: DataFrame) -> DataFrame:

@@ -217,12 +217,22 @@ def decode_features(
     for audio, width=sample_rate, height=n_channels, n_frames=frames."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         for pdf in batches:
             out = {"media_id": [], "kind": [], "width": [], "height": [],
                    "n_frames": [], "feature": []}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 decode = _fake_decode if deterministic_fake else _real_decode
-                w, h, nf, feat = decode(bytes(payload or b""), kind, feat_dim)
+                try:
+                    w, h, nf, feat = decode(bytes(payload or b""), kind, feat_dim)
+                except (ValueError, _struct.error):
+                    # quarantine, don't kill the stage: a malformed
+                    # payload yields a null-feature row (same stance as
+                    # decode_media's decoded=false rows); the documented
+                    # NotImplementedError plug-in boundary still raises
+                    w = h = nf = None
+                    feat = None
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["width"].append(w)

@@ -173,9 +173,14 @@ def extract_hrefs_expr(col):
     text, stays inside whole-stage codegen. Java and Python regex
     agree on this pattern's constructs (literal prefix, negated
     class); tests pin output equality with the pandas UDF on the
-    synthetic corpus."""
+    synthetic corpus. NULL text yields an empty array (coalesce), so
+    the expression is element-wise identical to the pandas path, which
+    fillna('')s before matching."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(HREF_PATTERN), 1)
+    return F.coalesce(
+        F.regexp_extract_all(c, F.lit(HREF_PATTERN), 1),
+        F.array().cast("array<string>"),
+    )
 
 
 def url_ids(col):

@@ -7,10 +7,13 @@ result EQUALS the batch operator on the same files — the streaming-vs-
 batch equivalence check that pins windowing, watermark and state
 semantics at once.
 
-At production scale the same query runs unbounded: the watermark bounds
-state (windows older than watermark are emitted and dropped), and the
-aggregation state is per (window, event_type) — cardinality-bounded,
-never per-event.
+At production scale the same query runs unbounded in ``update`` or
+``append`` output mode: there the watermark bounds state (windows older
+than watermark are finalized and dropped), and the aggregation state is
+per (window, event_type) — cardinality-bounded, never per-event. The
+``complete``-mode memory sink used by run_stream_to_memory is test-only:
+complete mode never evicts window state, so an unbounded run must not
+use it.
 """
 
 from __future__ import annotations
@@ -66,15 +69,21 @@ def streaming_windowed_counts(
 
 def run_stream_to_memory(
     spark: SparkSession, events_dir: str, table: str = "stream_windows",
-    width_sec: int = 600,
+    width_sec: int = 600, output_mode: str = "complete",
 ) -> DataFrame:
     """Drain the directory with availableNow into a memory sink and
-    return the result as a batch DataFrame (test harness helper)."""
+    return the result as a batch DataFrame (test harness helper).
+
+    TEST-ONLY: ``complete`` output mode never evicts window state, so
+    the watermark does NOT bound state under this query shape — fine
+    for a finite availableNow drain, wrong for an unbounded run. A
+    production deployment must use ``update``/``append`` mode (see
+    ``output_mode``) for the watermark to actually expire windows."""
     q = (
         streaming_windowed_counts(stream_events(spark, events_dir), width_sec)
         .writeStream.format("memory")
         .queryName(table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -2,7 +2,12 @@
 ``__spark_entry__.queries()`` entry and its ``oracle_sql()`` via DuckDB
 on the same parquet tables, compare row count + schema + sorted values.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--fine] [sf_dir] [query ...]
+
+``--fine`` checks the pre-consolidation fine-grained surface
+(__spark_entry__._queries_fine / _oracle_sql_base — every operator its
+own query) instead of the registered driver surface; default checks
+the registered queries()/oracle_sql() exactly as the driver does.
 """
 
 from __future__ import annotations
@@ -60,14 +65,16 @@ def compare(name, spark_df, sql, con):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--fine"]
+    fine = "--fine" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = entrymod._queries_fine() if fine else entrymod.queries()
+    oracles = entrymod._oracle_sql_base() if fine else entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -321,3 +321,22 @@ def test_hlpa_record_quality(spark):
     assert qs
     assert qs[-1] == pytest.approx(modularity(edges, res.membership), abs=1e-9)
     assert nmi(res.membership, truth) == pytest.approx(1.0)
+
+
+def test_lpa_delta_counts_exact(spark):
+    """The incremental (delta-counts) superstep is EXACTLY equivalent
+    to full re-aggregation: identical per-superstep mover counts and
+    identical final labels, with the counts path forced to engage from
+    superstep 2 (delta_msgs_frac > 1 covers the Σ(deg+1)+wants bound
+    even when every vertex moves)."""
+    for fixture, name in ((fx.ring_of_cliques, "rc"), (fx.gn, "gn")):
+        edges, _ = fixture(spark)
+        full = lpa(edges, max_iter=30, mode="tables", delta=False,
+                   state_name=f"lpa_nd_{name}")
+        dl = lpa(edges, max_iter=30, mode="tables", delta=True,
+                 delta_msgs_frac=3.0, state_name=f"lpa_dl_{name}")
+        assert dl.delta_from is not None and dl.delta_from <= 3, name
+        assert full.changed_history == dl.changed_history, name
+        a = {(r.id, r.comm) for r in full.labels.collect()}
+        b = {(r.id, r.comm) for r in dl.labels.collect()}
+        assert a == b, name

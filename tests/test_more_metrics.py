@@ -154,3 +154,108 @@ def test_rnmi_md5_mode_agrees_with_default(spark):
     assert m1 == _pt.approx(m2, abs=1e-12)
     x1 = rnmi(ma, mb, n_shuffles=4)
     assert abs(m1 - x1) < 0.1  # same correction scale, different draws
+
+
+def _np_prob_metric(pairs, memb, steps):
+    """NumPy oracle for the documented prob_metric semantics:
+    p_k(v) = (1/deg v)·Σ_{w∈N(v)∩C(v)} p_{k−1}(w), p_0 ≡ 1."""
+    import numpy as np
+
+    nodes = sorted({u for u, v in pairs} | {v for u, v in pairs} | set(memb))
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    adj = [[] for _ in range(n)]
+    for u, v in pairs:
+        adj[idx[u]].append(idx[v])
+        adj[idx[v]].append(idx[u])
+    comm = {idx[u]: c for u, c in memb.items()}
+    p = np.ones(n)
+    for _ in range(steps):
+        nxt = np.zeros(n)
+        for i in range(n):
+            nbrs = adj[i]
+            if not nbrs:
+                continue
+            s = sum(p[j] for j in nbrs if comm.get(j) == comm.get(i))
+            nxt[i] = s / len(nbrs)
+        p = nxt
+    out = {}
+    for c in sorted(set(comm.values())):
+        vals = np.array([p[i] for i in range(n) if comm[i] == c])
+        mean = vals.mean()
+        std = vals.std(ddof=1) if len(vals) > 1 else None
+        var = vals.var(ddof=1) if len(vals) > 1 else None
+        out[c] = (len(vals), mean, std, var)
+    return out
+
+
+def test_prob_metric_vs_numpy(spark):
+    import random
+
+    from communitydetection_jl_spark.operators.community_metrics import (
+        prob_metric_graph,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    pairs = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(160)})
+    memb = {u: u % 4 for u in range(n)}
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double")
+    md = spark.createDataFrame(list(memb.items()), "id long, comm long")
+    got = {r.comm: r for r in prob_metric_graph(edges, md, steps=3).collect()}
+    want = _np_prob_metric(pairs, memb, 3)
+    assert set(got) == set(want)
+    for c, (cnt, mean, std, var) in want.items():
+        assert got[c].n_members == cnt
+        assert got[c].mean_p == pytest.approx(mean, abs=1e-12)
+        assert got[c].std_p == pytest.approx(std, abs=1e-12)
+        assert got[c].var_p == pytest.approx(var, abs=1e-12)
+
+
+def test_prob_metric_ref_sizes_and_singletons(spark):
+    """steps=None uses the reference normalization (community size);
+    singleton communities get NULL std/var (Julia NaN)."""
+    from communitydetection_jl_spark.operators.community_metrics import (
+        prob_metric_graph,
+    )
+
+    # triangle community {0,1,2} + singleton {9}; 9 links to 0
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (0, 9, 1.0)],
+        "src long, dst long, weight double")
+    md = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 1), (9, 2)], "id long, comm long")
+    got = {r.comm: r for r in prob_metric_graph(edges, md).collect()}
+    # community 1 (size 3): 3 steps; vertices 1,2 have p=1 throughout
+    # (all nbrs internal); vertex 0 has deg 3 with 2 internal:
+    # p1=2/3, p2=(1+1)/3=2/3... exact: p_k(0)=2/3 each step? p_k(0) =
+    # (p(1)+p(2))/3; p(1)=p(2)=(p(0)+p(2 or 1))/2
+    import numpy as np
+
+    want = _np_prob_metric([(0, 1), (1, 2), (0, 2), (0, 9)],
+                           {0: 1, 1: 1, 2: 1, 9: 2}, 3)
+    assert got[1].mean_p == pytest.approx(want[1][1], abs=1e-12)
+    # singleton: walk of length 1; its only nbr (0) is another comm
+    assert got[2].n_members == 1
+    assert got[2].mean_p == pytest.approx(0.0)
+    assert got[2].std_p is None and got[2].var_p is None
+
+
+def test_louvain_det_parity_expr_deterministic(spark):
+    """The parity-gated distributed sweep is run-to-run deterministic
+    and respects the explicit parity expression (the louvain_det
+    driver row's engine side)."""
+    from pyspark.sql import functions as F
+
+    from communitydetection_jl_spark.operators.louvain import _distributed_level
+    from communitydetection_jl_spark.sources import fixtures as fx
+
+    edges, _ = fx.ring_of_cliques(spark)
+    kw = dict(eps=1e-7, max_sweeps=6, move_floor=0.0,
+              parity_expr=F.pmod(F.col("id"), F.lit(2)))
+    a = {r.id: r.comm for r in _distributed_level(edges, **kw)[0].collect()}
+    b = {r.id: r.comm for r in _distributed_level(edges, **kw)[0].collect()}
+    assert a == b
+    # cliques must collapse: far fewer communities than vertices
+    assert len(set(a.values())) < len(a) / 2
