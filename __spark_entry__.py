@@ -1447,7 +1447,7 @@ def q_louvain_det(spark, sf_dir):
 
     e = canonicalize_undirected(_part_edges(spark, sf_dir))
     memb, _info = _distributed_level(
-        e, eps=1e-7, max_sweeps=8, move_floor=0.0,
+        e, eps=1e-7, max_sweeps=8, move_floor=0.0, gain_floor=None,
         parity_expr=F.pmod(F.col("id"), F.lit(2)),
     )
     return memb.select("id", "comm")

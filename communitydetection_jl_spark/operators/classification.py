@@ -163,6 +163,107 @@ def expected_mutual_info(marg_a: list[int], marg_b: list[int]) -> float:
     return emi
 
 
+def _log_fact_expr(k):
+    """ln k! (= lgamma(k+1)) as a pure column expression over an
+    integer-valued column — Spark ships no lgamma, and a Python UDF
+    here would put the hypergeometric EMI kernel on the slow path.
+
+    Exact table for k ≤ 20 (literal array lookup), Stirling series for
+    k > 20: lgamma(z) = (z−½)ln z − z + ½ln 2π + 1/12z − 1/360z³
+    + 1/1260z⁵ − 1/1680z⁷, whose truncation error at z ≥ 22 is below
+    1e-16 relative — pytest pins agreement with math.lgamma."""
+    import math
+
+    kd = k.cast("double")
+    z = kd + F.lit(1.0)
+    small = F.element_at(
+        F.array(*[F.lit(math.lgamma(i + 1.0)) for i in range(21)]),
+        k.cast("int") + 1,
+    )
+    stirling = (
+        (z - F.lit(0.5)) * F.log(z) - z + F.lit(0.5 * math.log(2 * math.pi))
+        + F.lit(1.0 / 12) / z
+        - F.lit(1.0 / 360) / (z * z * z)
+        + F.lit(1.0 / 1260) / (z * z * z * z * z)
+        - F.lit(1.0 / 1680) / (z * z * z * z * z * z * z)
+    )
+    return F.when(k <= F.lit(20), small).otherwise(stirling)
+
+
+def expected_mutual_info_distributed(
+    marg_a: DataFrame, marg_b: DataFrame, n: int, chunk: int = 65_536
+) -> float:
+    """E[MI] as ONE Spark job over the marginal tables — the scale path
+    for community-size label sets where the driver loop's
+    O(|A|·|B|·min(ai,bj)) cells would hang a single core (two 1e5-
+    community memberships → 1e10 cells). The cell grid is a crossJoin
+    of the two marginal DataFrames (|A|·|B| rows, distributed), each
+    cell explodes its admissible nij range [max(1, ai+bj−n), min(ai,bj)]
+    with two-level chunked sequences (no generated array exceeds
+    ``chunk`` elements even when min(ai,bj) ~ n), and the
+    hypergeometric pmf is evaluated per term directly from
+    _log_fact_expr — all inside whole-stage codegen, no Python.
+
+    ``marg_a``/``marg_b``: one integer column of per-label counts."""
+    a = marg_a.select(F.col(marg_a.columns[0]).cast("long").alias("ai"))
+    b = marg_b.select(F.col(marg_b.columns[0]).cast("long").alias("bj"))
+    spark = marg_a.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    cells = a.repartition(parts).crossJoin(F.broadcast(b)).select(
+        "ai", "bj",
+        F.greatest(F.lit(1), F.col("ai") + F.col("bj") - F.lit(n)).alias("lo"),
+        F.least("ai", "bj").alias("hi"),
+    ).filter(F.col("hi") >= F.col("lo"))
+    # two-level explode: chunk index, then ≤chunk-element nij range
+    terms = (
+        cells.select(
+            "ai", "bj", "lo", "hi",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("hi") - F.col("lo")) / F.lit(chunk)).cast("long"),
+                )
+            ).alias("ch"),
+        )
+        .select(
+            "ai", "bj",
+            F.explode(
+                F.sequence(
+                    F.col("lo") + F.col("ch") * F.lit(chunk),
+                    F.least(
+                        F.col("hi"),
+                        F.col("lo") + (F.col("ch") + 1) * F.lit(chunk) - 1,
+                    ),
+                )
+            ).alias("nij"),
+        )
+    )
+    ai, bj, nij = F.col("ai"), F.col("bj"), F.col("nij")
+    nn = F.lit(float(n))
+    logp = (
+        _log_fact_expr(ai) + _log_fact_expr(nn.cast("long") - ai)
+        + _log_fact_expr(bj) + _log_fact_expr(nn.cast("long") - bj)
+        - _log_fact_expr(nn.cast("long"))
+        - _log_fact_expr(nij)
+        - _log_fact_expr(ai - nij)
+        - _log_fact_expr(bj - nij)
+        - _log_fact_expr(nn.cast("long") - ai - bj + nij)
+    )
+    term = (
+        (nij.cast("double") / nn)
+        * (F.log(nn) + F.log(nij.cast("double")) - F.log(ai.cast("double"))
+           - F.log(bj.cast("double")))
+        * F.exp(logp)
+    )
+    row = terms.agg(F.sum(term).alias("emi")).collect()[0]
+    return float(row["emi"] or 0.0)
+
+
+# above this many (|A|·|B|) marginal cells the driver loop hands EMI to
+# the distributed kernel (expected_mutual_info_distributed)
+_EMI_DRIVER_CELLS = 250_000
+
+
 def adjusted_mutual_info_score(
     truth: DataFrame, pred: DataFrame, average_method: str = "arithmetic"
 ) -> float:
@@ -182,10 +283,21 @@ def adjusted_mutual_info_score(
         return 0.0
     ha, hb, mi = _entropies(ct, n)  # H* are Σ p log p (≤ 0)
     ha, hb = -ha, -hb
-    marg_a = [int(r.na) for r in ct.groupBy("ca").agg(F.sum("nij").alias("na")).collect()]
-    marg_b = [int(r.nb) for r in ct.groupBy("cb").agg(F.sum("nij").alias("nb")).collect()]
-    ct.unpersist()
-    emi = expected_mutual_info(marg_a, marg_b)
+    ma_df = ct.groupBy("ca").agg(F.sum("nij").alias("na"))
+    mb_df = ct.groupBy("cb").agg(F.sum("nij").alias("nb"))
+    ka = ma_df.count()
+    kb = mb_df.count()
+    if ka * kb > _EMI_DRIVER_CELLS:
+        # community-scale label sets: the driver loop would be
+        # O(|A|·|B|·min(ai,bj)) on one core — run EMI as a Spark job
+        emi = expected_mutual_info_distributed(
+            ma_df.select("na"), mb_df.select("nb"), n)
+        ct.unpersist()
+    else:
+        marg_a = [int(r.na) for r in ma_df.collect()]
+        marg_b = [int(r.nb) for r in mb_df.collect()]
+        ct.unpersist()
+        emi = expected_mutual_info(marg_a, marg_b)
     if average_method == "arithmetic":
         norm = (ha + hb) / 2.0
     elif average_method == "max":

@@ -281,20 +281,24 @@ def overlap_nmi_df(ma: DataFrame, mb: DataFrame, n: int | None = None) -> float:
     the distributed counterpart of overlap_nmi (src/overlapnmi.jl:7-43
     semantics), usable on covers far too large to collect.
 
-    One id⋈id join builds all cluster intersections; the candidate
-    h(X_i|Y_j) table is a (clusters_a × clusters_b) cross join of the
-    two (small) cluster-size tables — cluster counts, not vertices —
-    with the LFK informativeness constraint and per-cluster min as
-    column expressions + one groupBy.
+    One id⋈id join builds all cluster intersections. The LFK candidate
+    space is every (X_i, Y_j) pair, but h(X_i|Y_j) for a NON-
+    intersecting pair depends only on |Y_j| — so instead of a
+    |C_a|·|C_b| cross join (quadratic in cluster count: an LPA cover
+    of a fragmented web graph has 1e7+ clusters), the search runs over
 
-    BOUND (by construction, not a defect): the cross join is quadratic
-    in cluster count — |C_a|·|C_b| rows. That is the LFK definition's
-    own candidate space (every X_i needs its min over all Y_j) and is
-    fine for covers, where clusters ≪ vertices (1e4 × 1e4 clusters →
-    1e8 16-byte rows across the cluster, shuffle-partitioned). Do NOT
-    feed it near-singleton partitions (clusters ~ n): there the
-    driver-list form is equally quadratic and the metric itself is the
-    wrong tool."""
+      (a) the intersecting pairs (nij > 0) from the id⋈id join — at
+          most Σ_id (memberships_a · memberships_b) rows, linear in
+          cover size; plus
+      (b) ONE candidate per (X_i, distinct |Y_j| size): exact because
+          all nij=0 candidates of equal size have equal h(X_i|Y_j),
+          with an availability check (a size s only qualifies for X_i
+          if some size-s cluster does NOT intersect X_i — counted from
+          the intersect table, never enumerated).
+
+    Worst case (all |C_b| sizes distinct) degrades to the old cross;
+    typical covers have O(100s) distinct sizes, making the candidate
+    table linear in |C_a| + |inter|."""
     la, lb = ma.columns[1], mb.columns[1]
     a = ma.select("id", F.col(la).alias("ca"))
     b = mb.select("id", F.col(lb).alias("cb"))
@@ -314,21 +318,37 @@ def overlap_nmi_df(ma: DataFrame, mb: DataFrame, n: int | None = None) -> float:
 
     def _cond_entropy(sx, sy, xcol, ycol, nx, ny):
         """Σ_i min over j of h(X_i|Y_j) (guarded), normalized by Σ h(X_i)."""
-        cross = (
-            sx.crossJoin(sy)
-            .join(inter, ["ca", "cb"], "left")
-            .withColumn("nij", F.coalesce("nij", F.lit(0)))
+        # (a) intersecting candidates, straight off the inter table
+        cand_int = (
+            inter.join(sx, xcol).join(sy, ycol)
+            .select(xcol, nx, F.col(ny).alias("_s"), "nij")
         )
+        # (b) nij=0 candidates: one per (X_i, distinct Y size s),
+        # available iff #clusters of size s  >  #size-s clusters
+        # intersecting X_i
+        szs = sy.groupBy(F.col(ny).alias("_s")).agg(
+            F.count(F.lit(1)).alias("_ycnt"))
+        isz = (
+            inter.join(sy, ycol)
+            .groupBy(xcol, F.col(ny).alias("_s"))
+            .agg(F.count(F.lit(1)).alias("_icnt"))
+        )
+        cand_non = (
+            sx.join(F.broadcast(szs), how="cross")
+            .join(isz, [xcol, "_s"], "left")
+            .filter(F.col("_ycnt") > F.coalesce("_icnt", F.lit(0)))
+            .select(xcol, nx, "_s", F.lit(0).cast("long").alias("nij"))
+        )
+        cands = cand_int.unionByName(cand_non)
         p11 = F.col("nij") / nd
         p10 = (F.col(nx) - F.col("nij")) / nd
-        p01 = (F.col(ny) - F.col("nij")) / nd
+        p01 = (F.col("_s") - F.col("nij")) / nd
         p00 = 1.0 - p11 - p10 - p01
-        pa = F.col(nx) / nd
-        pb = F.col(ny) / nd
+        pb = F.col("_s") / nd
         informative = (h(p11) + h(p00)) >= (h(p01) + h(p10))
         hxy = (h(p11) + h(p10) + h(p01) + h(p00)) - (h(pb) + h(1 - pb))
         best = (
-            cross.groupBy(xcol, nx)
+            cands.groupBy(xcol, nx)
             .agg(F.min(F.when(informative, hxy)).alias("best"))
         )
         hx = h(F.col(nx) / nd) + h(1 - F.col(nx) / nd)

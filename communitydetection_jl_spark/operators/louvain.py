@@ -349,10 +349,18 @@ def _move_sweep(edges: DataFrame, memb: DataFrame, aux: DataFrame,
         )
         .otherwise(F.col("c"))
     )
+    moved = new_c != F.col("c")
     upd = (
         mm.join(best, "id", "left")
         .join(base, "id", "left")
-        .select("id", new_c.alias("comm"), (new_c != F.col("c")).alias("moved"))
+        .select(
+            "id", new_c.alias("comm"), moved.alias("moved"),
+            # per-move objective gain (weight units): drives the
+            # diminishing-returns level stop (gain_floor)
+            F.when(
+                moved, F.col("best_score") - F.coalesce("base", F.lit(0.0))
+            ).otherwise(F.lit(0.0)).alias("gain"),
+        )
     )
     return upd
 
@@ -475,9 +483,14 @@ def _move_sweep_set(edges: DataFrame, memb: DataFrame, sizes: DataFrame,
             F.col("best_c"),
         ).otherwise(F.col("c"))
     )
+    moved = new_c != F.col("c")
     return (
         mm.join(best, "id", "left")
-        .select("id", new_c.alias("comm"), (new_c != F.col("c")).alias("moved"))
+        .select(
+            "id", new_c.alias("comm"), moved.alias("moved"),
+            F.when(moved, F.col("best_gain"))
+            .otherwise(F.lit(0.0)).alias("gain"),
+        )
     )
 
 
@@ -487,7 +500,8 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                        gamma: float = 1.0,
                        node_sizes: DataFrame | None = None,
                        base_scalars: dict | None = None,
-                       parity_expr=None) -> DataFrame:
+                       parity_expr=None,
+                       gain_floor: float | None = 1e-4) -> DataFrame:
     """Run bulk move sweeps on one level until (nearly) no vertex moves.
 
     ``move_floor`` is the reference's δ move floor (src/Optimiser.jl:148):
@@ -499,8 +513,23 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
 
     Returns (membership, info) where info carries the per-level
     diagnostics the bench surfaces (sweep count, per-sweep seconds and
-    moved counts, partition count) — the part_louvain regression in
-    round 3 was invisible without them."""
+    moved counts, summed gains, partition count) — the part_louvain
+    regression in round 3 was invisible without them.
+
+    ``gain_floor``: diminishing-returns stop, the distributed analogue
+    of the reference's per-pass improvement threshold
+    (src/Optimiser.jl:135-148): a sweep whose SUMMED move gain is
+    ≤ gain_floor·m (m = total edge weight; for modularity a sweep gain
+    of g raises Q by ≈ g/m) counts as quiet exactly like a sweep under
+    the move floor; two consecutive quiet sweeps (both parities) end
+    the level. This trims parity-oscillation tails (a few vertices
+    hopping back and forth, each hop "positive gain" in isolation)
+    without capping genuine slow convergence — measured on the
+    1.196M-edge part graph: 110.1s/Q=.085091 (off) → 80.8s/Q=.085072
+    (1e-4; the oscillating coarse level stops at sweep 10 of 30 while
+    the genuinely-improving level 0 runs its full 30; see
+    BENCH/BASELINE.md round-4 note). ``None`` disables (the
+    louvain_det oracle path pins the pure two-quiet-sweeps rule)."""
     from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
 
     spark = edges.sparkSession
@@ -527,7 +556,7 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
         memb = loop.init(verts.select("id", F.col("id").alias("comm")))
         n = memb.count()
         info = {"parts": parts, "sweeps": 0, "sweep_seconds": [],
-                "sweep_moved": []}
+                "sweep_moved": [], "sweep_gain": []}
         if m <= 0:
             loop.cleanup(keep_final=True)
             return memb, info
@@ -563,15 +592,22 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                                        parity_expr=parity_expr)
                 memb, got = loop.step(
                     plan,
-                    {"moved": F.sum(F.col("moved").cast("long"))},
+                    {"moved": F.sum(F.col("moved").cast("long")),
+                     "gain": F.sum("gain")},
                     write_cols=["id", "comm"],
                 )
                 moved = int(got.get("moved") or 0)
+                gain = float(got.get("gain") or 0.0)
                 info["sweeps"] = sweep + 1
                 info["sweep_moved"].append(moved)
+                info["sweep_gain"].append(round(gain, 6))
                 if ledger is not None:
-                    ledger.record(sweep, {"level": level, "moved": moved})
-                if moved <= move_floor * n:
+                    ledger.record(sweep, {"level": level, "moved": moved,
+                                          "gain": gain})
+                quiet = moved <= move_floor * n or (
+                    gain_floor is not None and gain <= gain_floor * m
+                )
+                if quiet:
                     low_streak += 1
                     if low_streak >= 2:  # both parities quiet
                         break
@@ -598,6 +634,7 @@ def louvain(
     max_levels: int = 20,
     max_sweeps: int = 30,
     move_floor: float = 0.01,
+    gain_floor: float | None = 1e-4,
     objective: str = "modularity",
     gamma: float = 1.0,
     ledger=None,
@@ -698,7 +735,7 @@ def louvain(
             break
         lvl, lvl_info = _distributed_level(
             cur_edges, eps, max_sweeps,
-            move_floor=move_floor, ledger=ledger,
+            move_floor=move_floor, gain_floor=gain_floor, ledger=ledger,
             level=level, objective=objective, gamma=gamma,
             node_sizes=sizes.withColumnRenamed("nsize", "k2"),
             base_scalars=base_scalars)

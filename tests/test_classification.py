@@ -140,3 +140,80 @@ def test_football_like_fixture(spark):
     assert nmi(res.membership, truth) > 0.85
     lres = lpa(edges)
     assert nmi(lres.labels, truth) > 0.75
+
+
+def test_log_fact_expr_matches_lgamma(spark):
+    """The Stirling-series log-factorial column expression agrees with
+    math.lgamma across the table/series boundary and at large k."""
+    import math
+
+    from communitydetection_jl_spark.operators.classification import _log_fact_expr
+
+    ks = list(range(0, 30)) + [100, 1000, 10**6, 10**9, 10**12]
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    got = {r.k: r.lf for r in df.select("k", _log_fact_expr(F.col("k")).alias("lf")).collect()}
+    for k in ks:
+        want = math.lgamma(k + 1.0)
+        assert got[k] == pytest.approx(want, rel=1e-13, abs=1e-12), k
+
+
+def test_emi_distributed_matches_driver(spark):
+    """The distributed hypergeometric EMI kernel reproduces the
+    driver-side loop on irregular marginals (including a cell whose
+    nij range spans several explode chunks via chunk=7)."""
+    import random
+
+    from communitydetection_jl_spark.operators.classification import (
+        expected_mutual_info,
+        expected_mutual_info_distributed,
+    )
+
+    rng = random.Random(7)
+    marg_a = [rng.randint(1, 40) for _ in range(12)]
+    need = sum(marg_a)
+    marg_b = []
+    left = need
+    while left > 0:
+        c = min(left, rng.randint(1, 60))
+        marg_b.append(c)
+        left -= c
+    want = expected_mutual_info(marg_a, marg_b)
+    da = spark.createDataFrame([(x,) for x in marg_a], "na long")
+    db = spark.createDataFrame([(x,) for x in marg_b], "nb long")
+    got = expected_mutual_info_distributed(da, db, need, chunk=7)
+    assert got == pytest.approx(want, rel=1e-10, abs=1e-12)
+
+
+def test_ami_distributed_path(spark, monkeypatch):
+    """adjusted_mutual_info_score gives the same value when the
+    marginal-cell guard forces the distributed EMI kernel."""
+    from communitydetection_jl_spark.operators import classification as cls
+    from communitydetection_jl_spark.sources import fixtures as fx
+
+    edges, truth = fx.ring_of_cliques(spark)
+    pred = truth.select("id", (F.col("comm") * 2 % 5).alias("comm"))
+    base = cls.adjusted_mutual_info_score(truth, pred)
+    monkeypatch.setattr(cls, "_EMI_DRIVER_CELLS", 0)
+    forced = cls.adjusted_mutual_info_score(truth, pred)
+    assert forced == pytest.approx(base, rel=1e-10, abs=1e-12)
+
+
+def test_load_gml_roundtrip(spark, tmp_path):
+    """load_gml parses Newman-format GML (the famous-network
+    distribution format) into the fixture (edges, truth) shape."""
+    gml = """graph [
+  node [ id 0 label "TeamA" value 7 ]
+  node [ id 1 label "TeamB" value 7 ]
+  node [ id 2 label "TeamC" value 2 ]
+  edge [ source 0 target 1 ]
+  edge [ source 1 target 2 ]
+]"""
+    p = tmp_path / "toy.gml"
+    p.write_text(gml)
+    from communitydetection_jl_spark.sources.fixtures import load_gml
+
+    edges, truth = load_gml(spark, str(p))
+    e = {(r.src, r.dst) for r in edges.collect()}
+    t = {r.id: r.comm for r in truth.collect()}
+    assert e == {(1, 2), (2, 3)}
+    assert t == {1: 8, 2: 8, 3: 3}

@@ -259,3 +259,26 @@ def test_louvain_det_parity_expr_deterministic(spark):
     assert a == b
     # cliques must collapse: far fewer communities than vertices
     assert len(set(a.values())) < len(a) / 2
+
+
+def test_overlap_nmi_df_many_clusters_fast(spark):
+    """The de-quadraticized candidate table: a 1e4-cluster cover pair
+    (old |C_a|·|C_b| cross ≈ 1e8 rows) finishes in seconds and matches
+    a shifted-copy expectation (near-but-below 1; exact self = 1)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from communitydetection_jl_spark.operators.compare import overlap_nmi_df
+
+    n = 40_000
+    ids = spark.range(n).select(F.col("id"))
+    a = ids.select("id", (F.col("id") / 4).cast("long").alias("comm"))
+    b = ids.select("id", ((F.col("id") + 1) / 4).cast("long").alias("comm"))
+    t0 = time.time()
+    same = overlap_nmi_df(a, a)
+    cross = overlap_nmi_df(a, b)
+    dt = time.time() - t0
+    assert same == pytest.approx(1.0, abs=1e-9)
+    assert 0.3 < cross < 1.0
+    assert dt < 60, f"two 1e4-cluster ONMI runs took {dt:.1f}s"
