@@ -19,6 +19,8 @@ web-dedup guard; dropped buckets are counted, not silent.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,12 +37,35 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     Spark evaluates projections before any exchange — so the expensive
     shingle/tokenize/hash map would run on a single core no matter what
     ``spark.sql.shuffle.partitions`` says. Hash-repartition by the id
-    (deterministic, no round-robin pre-sort) only when the scan has
-    fewer partitions than ``defaultParallelism``; at web scale the scan
-    is already wide and this is a no-op (no extra shuffle of raw text)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    (deterministic, no round-robin pre-sort) only when the scan is
+    narrower than ``defaultParallelism``; at web scale the scan is
+    already wide and this is a no-op (no extra shuffle of raw text).
+
+    Scan width is estimated from ``df.inputFiles()`` and the split
+    size (a file-based scan yields ≥ ceil(bytes/maxPartitionBytes)
+    partitions) — pure DataFrame API, no ``df.rdd`` materialization,
+    Spark-Connect-safe. Non-file frames (in-memory test data) report
+    zero files and always get spread, the safe direction before a
+    map-heavy stage."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file plans on some frontends
+        files = []
+    width = 0
+    if files:
+        max_split = int(str(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b"))
+        total = 0
+        for f in files:
+            p = f[len("file://"):] if f.startswith("file://") else f
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                total += max_split  # remote/unstattable: one split each
+        width = max(len(files), (total + max_split - 1) // max_split)
+    if width < target:
         return df.repartition(target, key)
     return df
 
