@@ -180,8 +180,16 @@ def main() -> None:
     extras["lpa_changed_history"] = lpa_res.changed_history
     extras["lpa_delta_from"] = lpa_res.delta_from
 
-    timed("web_components", lambda: connected_components(
-        web_edges, mode=bench_mode).count())
+    # BENCH_SKIP (comma list): scaling legs drop queries that feed no
+    # scaling metric — web_components alone costs ~15 min at a pinned
+    # 2-core leg while the efficiency ratio reads only the
+    # pagerank/lpa superstep extras
+    skip = {
+        s.strip() for s in os.environ.get("BENCH_SKIP", "").split(",") if s.strip()
+    }
+    if "web_components" not in skip:
+        timed("web_components", lambda: connected_components(
+            web_edges, mode=bench_mode).count())
 
     if os.environ.get("BENCH_ONLY") == "web":
         total = round(sum(queries.values()), 3)

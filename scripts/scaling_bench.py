@@ -39,6 +39,10 @@ def run_bench(cpus: int, sf_dir: str, n_pages: int) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["BENCH_PAGES"] = str(n_pages)
     env["BENCH_ONLY"] = "web"  # scaling metric = the web-graph superstep workloads
+    # components feeds no scaling metric (efficiency reads only the
+    # pagerank/lpa superstep extras) and costs ~15 min on the pinned
+    # 2-core leg — skip it on both legs symmetrically
+    env.setdefault("BENCH_SKIP", "web_components")
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # local mode: driver = whole JVM
     env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")  # RAM shuffle
     env.setdefault("SPARK_GRAFT_WAREHOUSE", "/dev/shm/spark-warehouse")
