@@ -1421,7 +1421,8 @@ def q_infomap_locals(spark, sf_dir):
 
 def q_infomap_all(spark, sf_dir):
     """Distributed full Infomap runs (undirected part graph + directed
-    orders graph) — mode-tagged union, rows-only (see q_infomap)."""
+    orders graph) — mode-tagged union, rows-only (see q_infomap; the
+    distributed SWEEP path itself is hash-oracled by infomap_det)."""
     a = q_infomap(spark, sf_dir).select(
         F.lit("undirected").alias("mode"), "id", "comm")
     b = q_infomap_directed(spark, sf_dir).select(
@@ -1450,6 +1451,48 @@ def q_louvain_det(spark, sf_dir):
         e, eps=1e-7, max_sweeps=8, move_floor=0.0, gain_floor=None,
         parity_expr=F.pmod(F.col("id"), F.lit(2)),
     )
+    return memb.select("id", "comm")
+
+
+def q_infomap_det(spark, sf_dir):
+    """THE DISTRIBUTED INFOMAP SWEEP PATH, hash-oracled end to end: one
+    map-equation `_distributed_level` (operators/infomap.py) on the
+    min2 part graph with the SQL-replayable id-parity conflict gate
+    (parity_expr=pmod(id,2)) and move_floor=0 — the louvain_det trick
+    applied to the map equation. Unlike modularity's integer-valued
+    gains, ΔL is a log combination whose last-ulp value can differ
+    across engines (sum order, libm ln), so the det mode quantizes the
+    DECISION score on BOTH sides (score_round=5 here, ROUND(dl,5) in
+    the CTE): on this unit-weight slice every t-space quantity is a
+    near-exact multiple of 1/(2m) and the cross-engine ΔL drift is
+    ~1e-12 absolute — five orders of magnitude inside the 5e-6
+    half-quantum — so both engines see the same score ladder and
+    replay identical moves. eps=1e-6 under a 1e-5 quantum means
+    accept ⇔ rounded ΔL ≤ −1e-5: no decision boundary is reachable
+    by drift. The production infomap() keeps the unquantized score
+    and the xxhash64 gate; this row pins the sweep's join/agg/window
+    structure and the ΔL formula itself."""
+    from communitydetection_jl_spark.operators.infomap import _distributed_level
+
+    e = _part_edges_min2(spark, sf_dir)
+    m = float(e.agg(F.sum("weight")).collect()[0][0] or 0.0)
+    sym_w = e.select(F.col("src").alias("id"), "weight").unionByName(
+        e.select(F.col("dst").alias("id"), "weight"))
+    arcs = e.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", (F.col("weight") / (2 * m)).alias("t"))
+    t_out = (
+        arcs.select(F.col("src").alias("id"), "t")
+        .unionByName(arcs.select(F.col("dst").alias("id"), "t"))
+        .groupBy("id").agg(F.sum("t").alias("t_out"))
+    )
+    flows = (
+        sym_w.groupBy("id").agg((F.sum("weight") / (2 * m)).alias("p"))
+        .join(t_out, "id", "left")
+        .select("id", "p", F.coalesce("t_out", F.lit(0.0)).alias("t_out"))
+    )
+    memb = _distributed_level(
+        arcs, flows, eps=1e-6, max_sweeps=6, move_floor=0.0,
+        parity_expr=F.pmod(F.col("id"), F.lit(2)), score_round=5)
     return memb.select("id", "comm")
 
 
@@ -1493,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "scores": q_scores,
         "louvain_det": q_louvain_det,
+        "infomap_det": q_infomap_det,
         "prob_metric": q_prob_metric,
         "louvain_locals": q_louvain_locals,
         "louvain_all": q_louvain_all,
@@ -3902,6 +3946,133 @@ def _louvain_det_oracle() -> str:
     """
 
 
+def _infomap_det_oracle() -> str:
+    """The distributed Infomap bulk sweep (_infomap_sweep +
+    _distributed_level, operators/infomap.py) as a recursive CTE for
+    the deterministic id-parity gate. Same marker-row pattern as
+    _louvain_det_oracle: arc rows carry t = w/2m, marker rows carry the
+    vertex's visit prob p and exit flow t_out; window sums over the
+    grouped (u, candidate-community) scan rebuild the community stats
+    (p_c, q_c = Σ members' t_out − t_to_own), Σq rides an OVER ()
+    window. The ΔL expression replicates the engine's term order
+    exactly, then BOTH engines round it to 5 decimals before the
+    (ΔL, cand) struct-argmin and the < −1e-6 accept gate — the drift
+    analysis lives on q_infomap_det. Stops after two consecutive
+    zero-move sweeps or 6 sweeps (move_floor=0)."""
+
+    def PL(x: str) -> str:
+        # plogp (functions/graph.py:69): x*ln(x), 0 for x <= 0; the
+        # argument is a compound expression — parenthesize it
+        return f"(CASE WHEN ({x}) > 0 THEN ({x}) * LN({x}) ELSE 0.0 END)"
+
+    dl = (
+        f"{PL('sq2')} - {PL('sq')}"
+        f" - 2.0 * ({PL('q_cur2')} + {PL('q_new2')}"
+        f" - {PL('q_cur')} - {PL('q_cand')})"
+        f" + {PL('q_cur2 + p_cur - p_u')}"
+        f" + {PL('q_new2 + p_cand + p_u')}"
+        f" - {PL('q_cur + p_cur')}"
+        f" - {PL('q_cand + p_cand')}"
+    )
+    return f"""
+        WITH RECURSIVE
+        e AS ({_PART_EDGES_MIN2_SQL}),
+        mt AS (SELECT 2.0 * SUM(weight) AS m2 FROM e),
+        arcs AS (SELECT src, dst, weight / (SELECT m2 FROM mt) AS t
+                 FROM e WHERE src <> dst),
+        deg AS (SELECT id, SUM(w) / (SELECT m2 FROM mt) AS p FROM (
+                  SELECT src AS id, weight AS w FROM e
+                  UNION ALL SELECT dst, weight FROM e) GROUP BY 1),
+        tout AS (SELECT id, SUM(t) AS t_out FROM (
+                   SELECT src AS id, t FROM arcs
+                   UNION ALL SELECT dst, t FROM arcs) GROUP BY 1),
+        flows AS (SELECT d.id, d.p, COALESCE(tt.t_out, 0.0) AS t_out
+                  FROM deg d LEFT JOIN tout tt ON d.id = tt.id),
+        aug AS (SELECT src AS u, dst AS nid, t, FALSE AS mark,
+                       CAST(NULL AS DOUBLE) AS p,
+                       CAST(NULL AS DOUBLE) AS t_out
+                FROM arcs
+                UNION ALL SELECT dst, src, t, FALSE, NULL, NULL FROM arcs
+                UNION ALL SELECT id, id, NULL, TRUE, p, t_out FROM flows),
+        it AS (
+          SELECT 0 AS k, id, CAST(id AS BIGINT) AS c,
+                 CAST(1 AS BIGINT) AS moved, CAST(1 AS BIGINT) AS prevmoved
+          FROM flows
+          UNION ALL
+          SELECT k + 1 AS k, u AS id, new_c AS c,
+                 SUM(CASE WHEN new_c <> cu THEN 1 ELSE 0 END) OVER () AS moved,
+                 moved0 AS prevmoved
+          FROM (
+            SELECT u, k, moved0, cu,
+                   CASE WHEN best.s IS NOT NULL
+                         AND best.s < -1e-6
+                         AND u % 2 = k % 2
+                        THEN best.c ELSE cu END AS new_c
+            FROM (
+              SELECT *,
+                MIN(CASE WHEN cand <> cu AND t_uc IS NOT NULL
+                         THEN {{'s': dlq, 'c': cand}} END)
+                  OVER (PARTITION BY u) AS best
+              FROM (
+                SELECT u, cand, k, moved0, cu, is_cur, t_uc,
+                       ROUND({dl}, 5) AS dlq
+                FROM (
+                  SELECT *,
+                         sq + (q_cur2 - q_cur) + (q_new2 - q_cand) AS sq2
+                  FROM (
+                    SELECT *,
+                           q_cur - tout_u + 2.0 * t_ucu AS q_cur2,
+                           q_cand + tout_u - 2.0 * t_uc AS q_new2
+                    FROM (
+                      SELECT *,
+                        MAX(CASE WHEN is_cur THEN q_cand END)
+                          OVER (PARTITION BY u) AS q_cur,
+                        MAX(CASE WHEN is_cur THEN p_cand END)
+                          OVER (PARTITION BY u) AS p_cur
+                      FROM (
+                        SELECT *,
+                          MAX(CASE WHEN is_cur THEN cand END)
+                            OVER (PARTITION BY u) AS cu,
+                          MAX(CASE WHEN is_cur THEN p_self END)
+                            OVER (PARTITION BY u) AS p_u,
+                          MAX(CASE WHEN is_cur THEN tout_self END)
+                            OVER (PARTITION BY u) AS tout_u,
+                          MAX(CASE WHEN is_cur THEN COALESCE(t_uc, 0.0) END)
+                            OVER (PARTITION BY u) AS t_ucu,
+                          SUM(CASE WHEN is_cur THEN p_self END)
+                            OVER (PARTITION BY cand) AS p_cand,
+                          SUM(CASE WHEN is_cur
+                                   THEN tout_self - COALESCE(t_uc, 0.0) END)
+                            OVER (PARTITION BY cand) AS q_cand,
+                          SUM(CASE WHEN is_cur
+                                   THEN tout_self - COALESCE(t_uc, 0.0) END)
+                            OVER () AS sq
+                        FROM (
+                          SELECT a.u AS u, it.c AS cand, MAX(it.k) AS k,
+                                 MAX(it.moved) AS moved0,
+                                 SUM(CASE WHEN NOT a.mark THEN a.t END) AS t_uc,
+                                 BOOL_OR(a.mark) AS is_cur,
+                                 MAX(CASE WHEN a.mark THEN a.p END) AS p_self,
+                                 MAX(CASE WHEN a.mark THEN a.t_out END)
+                                   AS tout_self
+                          FROM it JOIN aug a ON it.id = a.nid
+                          WHERE it.k < 6
+                            AND NOT (it.moved = 0 AND it.prevmoved = 0)
+                          GROUP BY a.u, it.c
+                        ) g
+                      ) win1
+                    ) win2
+                  ) calc1
+                ) calc2
+              ) sc
+            ) sc2
+            WHERE is_cur
+          ) pick
+        )
+        SELECT id, c AS comm FROM it WHERE k = (SELECT MAX(k) FROM it)
+    """
+
+
 def _prob_metric_oracle() -> str:
     """4 steps of the community-restricted walk retention iteration
     p_k(v) = (1/deg v)·Σ_(w∈N(v)∩C) p_(k−1)(w) over the brand
@@ -4066,6 +4237,9 @@ def oracle_sql() -> dict[str, str]:
     ])
 
     out["louvain_det"] = _louvain_det_oracle()
+    out["infomap_det"] = _infomap_det_oracle()
     out["prob_metric"] = _prob_metric_oracle()
-    # louvain_all / infomap_all stay rows-only (see their docstrings)
+    # louvain_all / infomap_all stay rows-only (their multi-level
+    # collapse recursion has data-dependent depth; the sweep paths
+    # they are built from are hash-oracled by louvain_det/infomap_det)
     return out

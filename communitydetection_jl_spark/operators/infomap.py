@@ -161,12 +161,28 @@ def _local_infomap(pairs, p, eps=1e-12, max_sweeps=100):
 # ----------------------------------------------------------------------
 
 def _infomap_sweep(arcs: DataFrame, memb: DataFrame, flows: DataFrame,
-                   parity: int, eps: float) -> DataFrame:
+                   parity: int, eps: float, parity_expr=None,
+                   score_round: int | None = None) -> DataFrame:
     """One bulk ΔL-scoring sweep; returns (id, comm, moved).
 
     ``arcs``: canonical (src, dst, t) inter-node arc probs (t = w/2m,
     self-loops excluded). ``flows``: (id, p, t_out). One m-sized
-    shuffle (the t_uc gather); comm stats and Σq derive from it."""
+    shuffle (the t_uc gather); comm stats and Σq derive from it.
+
+    ``parity_expr``: overrides the hash-parity conflict gate with a
+    SQL-replayable expression (e.g. ``pmod(id, 2)``) — the louvain.py
+    trick that lets a DuckDB recursive CTE replay the sweep
+    (infomap_det oracle). Default: xxhash64 parity.
+
+    ``score_round``: round ΔL to this many decimals BEFORE the argmin
+    and the accept gate. Unlike louvain's integer-valued modularity
+    gains, ΔL is a log combination whose last-ulp value differs across
+    engines (sum order, libm log); quantizing the DECISION value makes
+    both engines see the same score ladder whenever the true ΔL sits
+    farther from a rounding boundary than the cross-engine drift
+    (~1e-12 absolute here vs the 5e-6 half-quantum at 5 decimals —
+    verified empirically on the oracle slice). Production sweeps keep
+    the unquantized score (default None)."""
     mm = memb.select("id", F.col("comm").alias("c"))
     sym = arcs.select("src", "dst", "t").unionByName(
         arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "t")
@@ -213,6 +229,13 @@ def _infomap_sweep(arcs: DataFrame, memb: DataFrame, flows: DataFrame,
         - plogp(F.col("q_cur") + F.col("p_cur"))
         - plogp(F.col("q_new") + F.col("p_new"))
     )
+    if score_round is not None:
+        dl = F.round(dl, score_round)
+    gate = (
+        (parity_expr == F.lit(parity))
+        if parity_expr is not None
+        else (F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(parity))
+    )
     best = (
         cand.withColumn("dl", dl)
         .groupBy("id")
@@ -222,11 +245,7 @@ def _infomap_sweep(arcs: DataFrame, memb: DataFrame, flows: DataFrame,
         )
     )
     new_c = (
-        F.when(
-            (F.col("best_dl") < -eps)
-            & (F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(parity)),
-            F.col("best_c"),
-        )
+        F.when((F.col("best_dl") < -eps) & gate, F.col("best_c"))
         .otherwise(F.col("c"))
     )
     return mm.join(best, "id", "left").select(
@@ -236,7 +255,8 @@ def _infomap_sweep(arcs: DataFrame, memb: DataFrame, flows: DataFrame,
 
 def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
                        max_sweeps: int, move_floor: float, ledger=None,
-                       level: int = 0) -> DataFrame:
+                       level: int = 0, parity_expr=None,
+                       score_round: int | None = None) -> DataFrame:
     from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
 
     spark = arcs.sparkSession
@@ -255,7 +275,8 @@ def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
         for sweep in range(max_sweeps):
             memb, got = loop.step(
                 _infomap_sweep(arcs, memb.select("id", "comm"), flows,
-                               sweep % 2, eps),
+                               sweep % 2, eps, parity_expr=parity_expr,
+                               score_round=score_round),
                 {"moved": F.sum(F.col("moved").cast("long"))},
                 write_cols=["id", "comm"],
             )

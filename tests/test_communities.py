@@ -340,3 +340,27 @@ def test_lpa_delta_counts_exact(spark):
         a = {(r.id, r.comm) for r in full.labels.collect()}
         b = {(r.id, r.comm) for r in dl.labels.collect()}
         assert a == b, name
+
+
+def test_louvain_gain_floor_stop(spark):
+    """gain_floor — the distributed analogue of the reference's
+    per-pass improvement threshold (src/Optimiser.jl:135-148): a sweep
+    whose summed accepted gain is <= gain_floor*m counts as quiet, and
+    two consecutive quiet sweeps (both parities) end the level.
+
+    (a) a prohibitively high floor makes EVERY sweep quiet, so every
+        distributed level must stop after exactly two sweeps;
+    (b) the default floor (1e-4) only trims oscillation tails — on a
+        structured graph it must converge to the same quality and the
+        planted partition as gain_floor=None."""
+    edges, truth = fx.ring_of_cliques(spark)
+
+    hi = louvain(edges, local_threshold=0, gain_floor=1e9, max_sweeps=40)
+    dist = [h for h in hi.history if h.get("mode") == "distributed"]
+    assert dist, "expected distributed levels"
+    assert all(h["sweeps"] == 2 for h in dist)
+
+    on = louvain(edges, local_threshold=0, max_sweeps=40)
+    off = louvain(edges, local_threshold=0, gain_floor=None, max_sweeps=40)
+    assert on.quality == pytest.approx(off.quality, abs=1e-6)
+    assert nmi(on.membership, truth) == pytest.approx(1.0)

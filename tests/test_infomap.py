@@ -255,3 +255,44 @@ def test_infomap_directed_distributed_path(spark):
     singles = _dir_codelength(DIR_ARCS, nodes, {u: u for u in nodes})
     assert res.codelength < singles
     assert res.membership.select("comm").distinct().count() < len(nodes)
+
+
+def test_infomap_det_sweep_params(spark):
+    """The det-mode sweep knobs (parity_expr + score_round) used by the
+    infomap_det driver oracle: an id-parity gate with a quantized
+    decision score must still run the bulk sweep to a valid partition,
+    and quantizing at 5 decimals must not change the moves on clique
+    structure (gains there are orders of magnitude above the 1e-5
+    quantum) — the unquantized xxhash-gated run and the det-mode run
+    both recover the planted partition."""
+    from pyspark.sql import functions as F
+
+    from communitydetection_jl_spark.functions.graph import (
+        canonicalize_undirected,
+        vertices_of,
+    )
+    from communitydetection_jl_spark.operators.infomap import (
+        _distributed_level,
+    )
+
+    edges, truth = fx.ring_of_cliques(spark)
+    e = canonicalize_undirected(edges)
+    m = float(e.agg(F.sum("weight")).collect()[0][0])
+    arcs = e.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", (F.col("weight") / (2 * m)).alias("t"))
+    sym_w = e.select(F.col("src").alias("id"), "weight").unionByName(
+        e.select(F.col("dst").alias("id"), "weight"))
+    t_out = (
+        arcs.select(F.col("src").alias("id"), "t")
+        .unionByName(arcs.select(F.col("dst").alias("id"), "t"))
+        .groupBy("id").agg(F.sum("t").alias("t_out"))
+    )
+    flows = (
+        sym_w.groupBy("id").agg((F.sum("weight") / (2 * m)).alias("p"))
+        .join(t_out, "id", "left")
+        .select("id", "p", F.coalesce("t_out", F.lit(0.0)).alias("t_out"))
+    )
+    det = _distributed_level(
+        arcs, flows, eps=1e-6, max_sweeps=10, move_floor=0.0,
+        parity_expr=F.pmod(F.col("id"), F.lit(2)), score_round=5)
+    assert nmi(det.select("id", "comm"), truth) == pytest.approx(1.0)
