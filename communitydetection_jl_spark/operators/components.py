@@ -7,27 +7,48 @@ it as a first-class operator using the large-star/small-star scheme
 SoCC'14 — public algorithm), which converges in O(log n) rounds and is
 the standard shuffle-friendly formulation.
 
-State is a pair set P(a, b) with a > b ("node → smaller neighbor").
+State is a pair set P(a, b) with a > b ("node → smaller neighbor"),
+kept in a bucketed table on ``a`` (mode="tables") so per-round
+aggregations on ``a`` read it with zero exchange.
 
-  large-star: for every node u over the symmetric neighbor view,
-      m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+The a > b invariant collapses both stars to narrow plans (the naive
+formulation shuffles a symmetrized 2|P|-row view twice per star):
+
+  large-star: the spec says "for every node u over the symmetric
+      neighbor view, m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for
+      v ∈ N(u), v > u".  Under the invariant the only v > u direction
+      of a pair (a, b) is (u=b, v=a), so the emit set is exactly
+      {(a, m(b)) : (a,b) ∈ P}.  And m(u) = min over b-neighbors
+      (all < u), a-neighbors (all > u, never the min) and u itself,
+      i.e. m(u) = min_b over pairs grouped by a=u, else u.  One
+      zero-exchange groupBy on the bucketed state + one join of the
+      state on ``b`` — a single |P|-row exchange.
   small-star: group P by a: m = min(b); emit (a, m) and (b_i, m) for
-      b_i ≠ m.
+      b_i ≠ m.  groupBy and join are both on ``a``; on large-star's
+      output both consumers share one exchange (ReuseExchange).
 
-Both steps are a groupBy-min plus an equi-join — map-side combine
-absorbs hub skew on the min aggregation; AQE skew-join handles the join
-side. Convergence = (count, hash-sum) checksum of P stable across a
-full L+S round. At the fixpoint P is a star forest; component id =
-root = component minimum (exact ids, per the north rule).
+No per-star distinct: the min aggregations are duplicate-insensitive,
+so dedup happens once per round, fused with the bucket-write
+repartition on ``a`` (HashPartitioning(a) satisfies the (a, b)
+clustering the dedup aggregate requires — no extra exchange).
+Per round: 3 exchanges of ≤|P|-row tables total.
+
+Convergence = (count, hash-sum) checksum of P stable across a full
+L+S round.  At the fixpoint P is a star forest; component id = root =
+component minimum (exact ids, per the north rule).  The per-round
+state SETS are identical to the textbook formulation (only the
+physical plan changed), so round counts and results match exactly.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.graph import vertices_of
-from ..plans.iterstate import StateLoop, no_aqe
+from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
 
 def _checksum_metrics() -> dict:
     # decimal sum: hash values are full-range longs and would overflow
@@ -41,30 +62,24 @@ def _checksum_metrics() -> dict:
 
 
 def _large_star(pairs: DataFrame) -> DataFrame:
-    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("mn", "u").alias("m"))
-    out = (
-        sym.join(mins, "u")
-        .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    return out
+    # m(u) = min(N(u) ∪ {u}); with a > b the min is min_b of u's
+    # a-rows when they exist, else u itself (a-neighbors are larger).
+    mins = pairs.groupBy(F.col("a").alias("u")).agg(F.min("b").alias("mn"))
+    return (
+        pairs.join(mins, pairs["b"] == mins["u"], "left")
+        .select("a", F.coalesce("mn", "b").alias("b"))
+    )  # m(b) ≤ b < a, so no self-pair filter is needed
 
 
 def _small_star(pairs: DataFrame) -> DataFrame:
     mins = pairs.groupBy("a").agg(F.min("b").alias("m"))
-    to_root = mins.select(F.col("a"), F.col("m").alias("b"))  # (a, m)
+    to_root = mins.select("a", F.col("m").alias("b"))  # (a, m)
     siblings = (
         pairs.join(mins, "a")
         .filter(F.col("b") != F.col("m"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
-    return to_root.unionByName(siblings).distinct()
+    return to_root.unionByName(siblings)
 
 
 def connected_components(
@@ -79,7 +94,14 @@ def connected_components(
     (plans/iterstate.py discipline)."""
     spark = edges.sparkSession
     verts = vertices_of(edges)
-    loop = StateLoop(spark, "cc_pairs", mode=mode, bucket_key="a", ledger=ledger)
+    # fixed bucket/shuffle granularity across cluster sizes, same
+    # discipline as pagerank.py: finer-than-core tasks load-balance
+    # the skewed star joins and keep the bucketed reads zero-exchange
+    P = int(os.environ.get("SPARK_GRAFT_STATE_PARTS", "0")) or \
+        spark.sparkContext.defaultParallelism
+    loop = StateLoop(
+        spark, "cc_pairs", mode=mode, bucket_key="a", parts=P, ledger=ledger
+    )
 
     state = None
     if ledger is not None:
@@ -91,17 +113,24 @@ def connected_components(
                 F.greatest("src", "dst").alias("a"),
                 F.least("src", "dst").alias("b"),
             )
-            .distinct()
+            .repartition(P, "a")
+            .dropDuplicates(["a", "b"])
         )
         state = loop.init(pairs0)
     prev = None
     rounds = 0
-    with no_aqe(spark):
+    with no_aqe(spark), shuffle_parts(spark, P):
         while rounds < max_rounds:
             rounds += 1
-            state, got = loop.step(
-                _small_star(_large_star(state)), _checksum_metrics()
+            # dedup once per round, partitioned on the bucket key so the
+            # dedup aggregate and the bucketed state write share one
+            # exchange (HashPartitioning(a) clusters (a, b))
+            plan = (
+                _small_star(_large_star(state))
+                .repartition(P, "a")
+                .dropDuplicates(["a", "b"])
             )
+            state, got = loop.step(plan, _checksum_metrics())
             cur = (int(got["c"] or 0), str(got["h"]))
             if cur == prev:
                 break

@@ -82,6 +82,14 @@ def get_spark(
         # localCheckpoint/collect task-result metadata scales with task
         # count; the 1g default aborts wide materializations
         .config("spark.driver.maxResultSize", "4g")
+        # a taskset-pinned low-core leg (scaling_bench) runs driver +
+        # executor + netty + GC on 2 cores: a long shuffle write can
+        # starve the in-process heartbeat thread past the default
+        # 60×10s failure budget and kill the executor mid-job. Batch
+        # supersteps never need fast failure detection — be patient.
+        .config("spark.executor.heartbeatInterval", "20s")
+        .config("spark.executor.heartbeat.maxFailures", "240")
+        .config("spark.network.timeout", "600s")
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
         # local-mode shuffles go through spark.local.dir; on a RAM-rich
