@@ -89,13 +89,52 @@ def run_bench(cpus: int, sf_dir: str, n_pages: int) -> dict:
     return json.loads(line)
 
 
+def _derive(leg: dict) -> None:
+    """(Re)compute the steady/floor superstep metrics from the raw
+    per-iteration arrays. LPA reads FULL-GATHER supersteps only: once
+    the delta-counts path engages (lpa_delta_from), a superstep
+    processes O(changed_edges + counts) rather than 2m messages, so 2m
+    / delta-superstep-seconds overstates throughput and the tiny late
+    delta supersteps' min is fixed-overhead-bound, not kernel-bound.
+    Both legs run the identical deterministic mover trajectory (same
+    delta_from, same changed_history), so the full-gather window is
+    the same superstep set at every parallelism level."""
+    ex = leg["extras"]
+    m = ex["web_edges"]
+
+    def med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    pr = ex["pagerank_iter_seconds"]
+    ex["pagerank_superstep_median_sec"] = round(med(pr), 3)
+    ex["pagerank_superstep_min_sec"] = round(min(pr), 3)
+    ex["pagerank_edges_per_sec_steady"] = round(m / med(pr), 1)
+    lp = ex["lpa_iter_seconds"]
+    df = ex.get("lpa_delta_from")
+    full = (lp[: df - 1] if df else lp) or lp
+    ex["lpa_superstep_median_sec"] = round(med(full), 3)
+    ex["lpa_superstep_min_sec"] = round(min(full), 3)
+    ex["lpa_edges_per_sec_steady"] = round(2 * m / med(full), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_pages = int(os.environ.get("BENCH_PAGES", "200000"))
     pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
     small_c, big_c = (int(x) for x in pair.split(","))
-    small = run_bench(small_c, sf_dir, n_pages)
-    big = run_bench(big_c, sf_dir, n_pages)
+    if "--recompute" in sys.argv[1:]:
+        # re-derive metrics + BASELINE.md from the recorded raw
+        # per-iteration data (no re-run; idempotent)
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            prev = json.load(f)
+        small, big = prev["small"], prev["big"]
+        small_c, big_c = prev["cores"]["small"], prev["cores"]["big"]
+        sf_dir, n_pages = prev["sf_dir"], prev["n_pages"]
+    else:
+        small = run_bench(small_c, sf_dir, n_pages)
+        big = run_bench(big_c, sf_dir, n_pages)
+    _derive(small)
+    _derive(big)
 
     rows = []
     for key, label in (
@@ -145,7 +184,11 @@ def main() -> None:
         "",
         "Throughput = edges/sec per superstep from the steady-state MEDIAN",
         "superstep wall time (PageRank gathers m arcs; LPA gathers 2m",
-        "symmetrized messages). Efficiency = (thr_big / thr_small) /",
+        "symmetrized messages). LPA reads FULL-GATHER supersteps only:",
+        "after the delta-counts path engages (lpa_delta_from — the same",
+        "deterministic superstep on both legs) a superstep processes",
+        "O(changed_edges), not 2m, so delta iterations are excluded from",
+        "the 2m-denominated kernel metric. Efficiency = (thr_big / thr_small) /",
         f"({big_c}/{small_c}); the north-rule bar is ≥ 0.8. The floor",
         "column uses the MIN superstep at each level: this host shows",
         "±30% one-sided superstep jitter at a fixed core count (see",
@@ -160,6 +203,15 @@ def main() -> None:
         emtxt = f"{em:.3f}" if em is not None else "—"
         lines.append(f"| {k} | {ts:,.0f} | {tb:,.0f} | {eff:.3f} | {emtxt} |")
     lines += [
+        "",
+        "Values slightly above 1 are a one-box proxy artifact, not a",
+        "claim of super-linear scaling: the pinned small leg runs the",
+        "driver, GC, and shuffle machinery inside its own 2 cores, so",
+        "every one of its supersteps carries proportionally more",
+        "non-kernel overhead than the 8-core leg — which inflates the",
+        "measured ratio. The honest reading is \"parallel efficiency",
+        "indistinguishable from 1.0 at this pair, comfortably above the",
+        "0.8 bar\", consistent across median and floor estimators.",
         "",
         f"Protocol: each leg runs `taskset`-pinned to exactly its core",
         "allocation — local[N] only caps task slots, and an unpinned",
