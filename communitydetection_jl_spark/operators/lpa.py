@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.graph import csr_adjacency, vertices_of, with_weight
-from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
+from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts, state_codec
 from .triangles import edge_common_neighbors
 
 
@@ -63,6 +63,9 @@ class LPAResult:
     # first superstep (1-based) that ran in incremental (delta-counts)
     # mode; None = the run never engaged it
     delta_from: int | None = None
+    # True when superstep 1 ran the identity-init min-neighbor plan
+    # (valid only when the sym CSR observed zero duplicate pairs)
+    first_superstep_fast: bool = False
 
 
 def lpa_superstep(
@@ -256,6 +259,7 @@ def label_propagation(
     sym_plan = _vote_edges(edges, weighted, cn_bonus)
     unit = "vote" not in sym_plan.columns
     sym_table = None
+    sym_dups = sym_msgs = None
     if mode == "tables":
         sym_table = f"{loop.name}_sym"
         loop._drop_table(sym_table)
@@ -266,12 +270,31 @@ def label_propagation(
             # the gather explodes the arrays, so chunking is invisible
             # to the superstep semantics (lpa_full oracle pins this).
             sym_plan = csr_adjacency(sym_plan, "dst", "src", "srcs")
-        (
-            sym_plan.repartition(P, "dst")
-            .write.bucketBy(P, "dst")
-            .mode("overwrite")
-            .saveAsTable(sym_table)
-        )
+            # exact duplicate-(listener, speaker) count, observed free
+            # on the build write: csr_adjacency buckets chunk rows by
+            # pmod(xxhash64(src), nchunks), so every duplicate of a
+            # listener lands in the SAME chunk row and a per-row
+            # array_distinct sees all of them. dups == 0 certifies the
+            # identity-init first-superstep fast path below.
+            from pyspark.sql import Observation as _Obs
+
+            dup_obs = _Obs(f"{loop.name}_dups")
+            sym_plan = sym_plan.observe(
+                dup_obs,
+                F.coalesce(
+                    F.sum(F.size("srcs") - F.size(F.array_distinct("srcs"))),
+                    F.lit(0),
+                ).alias("dups"),
+                F.coalesce(F.sum(F.size("srcs")), F.lit(0)).alias("msgs"),
+            )
+        w = sym_plan.repartition(P, "dst").write
+        if state_codec():
+            w = w.option("compression", state_codec())
+        w.bucketBy(P, "dst").mode("overwrite").saveAsTable(sym_table)
+        if unit:
+            got_dup = dup_obs.get
+            sym_dups = int(got_dup["dups"])
+            sym_msgs = int(got_dup["msgs"])
         sym = spark.table(sym_table)
     else:
         sym = sym_plan.repartition(P, "dst").persist()
@@ -342,6 +365,22 @@ def label_propagation(
     frontier_bound = None
     delta_ok = delta and csr and unit and mode == "tables" \
         and "prev" in state.columns
+    # identity-init first superstep: with identity labels, (listener,
+    # label) vote groups are exactly the (listener, speaker) pairs, so
+    # the argmax needs no 2m-group count — unique pairs contribute cnt-1
+    # candidates (a min aggregation), and the exactly-observed duplicate
+    # pairs (sym_dups, from the CSR build) get their true counts from
+    # the few rows that contain them. EXACT for any input; engaged only
+    # while the dup mass is small (above ~2% the dup rows approach the
+    # general gather's cost anyway). Requires a fresh identity start
+    # (no init_labels, not resumed) under sticky tie-breaking.
+    simple1 = (
+        csr and unit and sticky and mode == "tables"
+        and init_labels is None and start_iter == 0
+        and sym_dups is not None
+        and sym_dups <= 0.02 * max(sym_msgs or 0, 1)
+    )
+    used_fast1 = False
     counts = None            # delta mode: materialized (id, lbl, cnt)
     counts_loop = None
     counts_fresh = False     # just (re)built from current labels?
@@ -434,6 +473,102 @@ def label_propagation(
                 else:
                     new_lbl = want
                 stepped = base.join(best, "id", "left").select(
+                    "id",
+                    new_lbl.alias("lbl"),
+                    (new_lbl != F.col("cur_lbl")).alias("changed"),
+                    (want != F.col("cur_lbl")).alias("wants"),
+                    F.col("cur_lbl").alias("prev"),
+                    "deg",
+                )
+            elif it == 1 and simple1:
+                # ---- identity-init first superstep, min-neighbor plan ----
+                # The general plan's (listener, label) count aggregation
+                # peaks EXACTLY here — with identity labels its group
+                # cardinality is ~2m (near-zero map-side combining, the
+                # single most expensive superstep at web scale). Instead:
+                # every unique (listener, speaker) pair is a cnt-1 vote,
+                # so one n-group min aggregation with perfect partial
+                # combining yields the best single-vote candidate, and
+                # the (rare, exactly-counted) duplicated pairs get their
+                # true counts from only the rows that contain them. The
+                # min-agg re-lists a duplicated speaker as a weaker cnt-1
+                # candidate of the same label — harmless, its true
+                # (cnt>1) candidate dominates. Equivalence cases
+                # (self-loops beat cnt-1 neighbors via the sticky flag,
+                # duplicated > smaller-id single, isolated keep
+                # themselves) are pinned by
+                # test_lpa_first_superstep_fastpath and transitively by
+                # the lpa_full recursive-CTE oracle.
+                used_fast1 = True
+                uniq = (
+                    sym.select(
+                        F.col("dst").alias("spk"),
+                        F.explode("srcs").alias("id"),
+                    )
+                    .groupBy("id")
+                    .agg(
+                        F.min(
+                            F.when(F.col("spk") != F.col("id"), F.col("spk"))
+                        ).alias("mn"),
+                        F.max((F.col("spk") == F.col("id")).cast("int")
+                              ).alias("selfv"),
+                    )
+                )
+                best = uniq
+                if sym_dups:
+                    dupc = (
+                        sym.filter(
+                            F.size("srcs") != F.size(F.array_distinct("srcs"))
+                        )
+                        .select(
+                            F.col("dst").alias("spk"),
+                            F.explode("srcs").alias("id"),
+                        )
+                        .groupBy("id", "spk")
+                        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                        .filter(F.col("cnt") > 1)
+                        .groupBy("id")
+                        .agg(F.max(F.struct(
+                            F.col("cnt"),
+                            (F.col("spk") == F.col("id")).cast("int")
+                            .alias("t1"),
+                            (-F.col("spk")).cast("long").alias("t2"),
+                            F.col("spk").alias("lbl"),
+                        )).alias("wd"))
+                    )
+                    best = uniq.join(dupc, "id", "left")
+                base = state.select(
+                    "id", F.col("lbl").alias("cur_lbl"), "deg")
+                joined = base.join(best, "id", "left")
+                cand_self = F.struct(
+                    F.coalesce(F.col("selfv"), F.lit(0)).cast("long")
+                    .alias("cnt"),
+                    F.lit(1).alias("t1"),
+                    (-F.col("cur_lbl")).cast("long").alias("t2"),
+                    F.col("cur_lbl").alias("lbl"),
+                )
+                cand_min = F.when(
+                    F.col("mn").isNotNull(),
+                    F.struct(
+                        F.lit(1).cast("long").alias("cnt"),
+                        F.lit(0).alias("t1"),
+                        (-F.col("mn")).cast("long").alias("t2"),
+                        F.col("mn").alias("lbl"),
+                    ),
+                )
+                cands = [cand_self, cand_min]
+                if sym_dups:
+                    cands.append(F.col("wd"))
+                want = F.greatest(*cands).getField("lbl")
+                if parity is not None:
+                    pexpr = parity_expr if parity_expr is not None \
+                        else F.pmod(F.xxhash64("id"), F.lit(2))
+                    new_lbl = F.when(
+                        pexpr == F.lit(parity), want
+                    ).otherwise(F.col("cur_lbl"))
+                else:
+                    new_lbl = want
+                stepped = joined.select(
                     "id",
                     new_lbl.alias("lbl"),
                     (new_lbl != F.col("cur_lbl")).alias("changed"),
@@ -543,7 +678,8 @@ def label_propagation(
     loop.cleanup(keep_final=True)
     # iter_secs covers the WHOLE superstep (counts maintenance + state
     # write in delta mode), not just the state-loop action
-    return LPAResult(out, it, changed_history, iter_secs, delta_from)
+    return LPAResult(out, it, changed_history, iter_secs, delta_from,
+                     first_superstep_fast=used_fast1)
 
 
 def permute_labels(membership: DataFrame) -> DataFrame:

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.graph import csr_adjacency
-from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
+from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts, state_codec
 from .degrees import trans_prob_directed
 
 
@@ -126,12 +126,10 @@ def pagerank(
     if mode == "tables":
         arcs_table = f"{loop.name}_arcs"
         loop._drop_table(arcs_table)
-        (
-            arcs_plan.repartition(P, "src")
-            .write.bucketBy(P, "src")
-            .mode("overwrite")
-            .saveAsTable(arcs_table)
-        )
+        w = arcs_plan.repartition(P, "src").write
+        if state_codec():
+            w = w.option("compression", state_codec())
+        w.bucketBy(P, "src").mode("overwrite").saveAsTable(arcs_table)
         arcs = spark.table(arcs_table)
     else:
         arcs = arcs_plan.repartition(P, "src").persist()

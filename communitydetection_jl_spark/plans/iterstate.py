@@ -36,6 +36,19 @@ from pyspark.sql import functions as F
 _LOOP_IDS = itertools.count()
 
 
+def state_codec() -> str | None:
+    """Parquet codec for the engine's THROWAWAY state/CSR tables
+    (``SPARK_GRAFT_STATE_CODEC``; empty = Spark's default snappy).
+
+    State tables live for one superstep (or one algorithm run) in a
+    scratch/tmpfs warehouse, so the codec trade here is pure write+read
+    CPU against scratch bytes — durability and network replication,
+    the reasons to compress long-lived tables, don't apply. Scoped as a
+    per-write option so user-facing outputs keep the session default."""
+    c = os.environ.get("SPARK_GRAFT_STATE_CODEC", "").strip().lower()
+    return c or None
+
+
 def tune_for_iteration(spark: SparkSession) -> None:
     """Idempotent write-path tuning: v2 committer (no serial rename
     pass), no _SUCCESS markers, no parquet summary files."""
@@ -156,14 +169,20 @@ class StateLoop:
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
     def _write(self, df: DataFrame, target: str) -> None:
+        codec = state_codec()
         if self.mode == "tables":
             self._drop_table(target)
             w = df.write
+            if codec:
+                w = w.option("compression", codec)
             if self.bucket_key:
                 w = w.bucketBy(self.parts, self.bucket_key)
             w.mode("overwrite").saveAsTable(target)
         else:
-            df.write.mode("overwrite").parquet(target)
+            w = df.write
+            if codec:
+                w = w.option("compression", codec)
+            w.mode("overwrite").parquet(target)
 
     def _read(self, target: str) -> DataFrame:
         if self.mode == "tables":

@@ -364,3 +364,73 @@ def test_louvain_gain_floor_stop(spark):
     off = louvain(edges, local_threshold=0, gain_floor=None, max_sweeps=40)
     assert on.quality == pytest.approx(off.quality, abs=1e-6)
     assert nmi(on.membership, truth) == pytest.approx(1.0)
+
+
+def test_lpa_first_superstep_fastpath(spark):
+    """The identity-init first superstep reduces to one min-neighbor
+    aggregation when the symmetrized (listener, speaker) pairs are
+    duplicate-free — gated by the exact dup metric observed on the CSR
+    build. Three shapes pin the gate and the semantics:
+
+    (a) clean canonical graph: fast path engages (first_superstep_fast)
+        and the full run matches dir mode exactly (covered broadly by
+        test_lpa_tables_csr_matches_dir; re-asserted here with the flag);
+    (b) mutual directed pair (both (u,v) and (v,u) in the input): the
+        symmetrized view holds the pair twice -> dup mass 20% of
+        messages, far above the 2% engage bound -> fast path must NOT
+        engage, and labels still match dir mode;
+    (c) self-loops: a self-loop is a real vote for the vertex's own
+        label (cnt 1, sticky cur=true) and must win against a cnt-1
+        neighbor vote under the (cnt, cur, -lbl) tie-break;
+    (d) a large clean graph plus ONE duplicated pair (dup mass under
+        the bound): the fast path engages WITH the dup-correction
+        branch, whose cnt-2 candidate must beat smaller-id cnt-1
+        neighbors — exactly where a bare min-neighbor plan would
+        diverge from the general gather."""
+    # (a) clean graph
+    edges, _ = fx.ring_of_cliques(spark)
+    fast = lpa(edges, max_iter=15, mode="tables", state_name="lpa_fp_a")
+    assert fast.first_superstep_fast is True
+    ref = lpa(edges, max_iter=15, mode="dir", state_name="lpa_fp_a_d")
+    assert {(r.id, r.comm) for r in fast.labels.collect()} == {
+        (r.id, r.comm) for r in ref.labels.collect()
+    }
+
+    # (b) mutual pair -> duplicate sym rows -> fallback, same answer
+    rows = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 1)]
+    dup_edges = spark.createDataFrame(rows, "src long, dst long")
+    dup = lpa(dup_edges, max_iter=10, mode="tables", state_name="lpa_fp_b")
+    assert dup.first_superstep_fast is False
+    dref = lpa(dup_edges, max_iter=10, mode="dir", state_name="lpa_fp_b_d")
+    assert {(r.id, r.comm) for r in dup.labels.collect()} == {
+        (r.id, r.comm) for r in dref.labels.collect()
+    }
+
+    # (c) self-loops: fast path engages (a self-loop is one sym row),
+    # answers match dir mode; isolated-from-others vertex keeps itself
+    rows = [(1, 1), (1, 2), (3, 4), (5, 5)]
+    sl_edges = spark.createDataFrame(rows, "src long, dst long")
+    sl = lpa(sl_edges, max_iter=10, mode="tables", state_name="lpa_fp_c")
+    assert sl.first_superstep_fast is True
+    sref = lpa(sl_edges, max_iter=10, mode="dir", state_name="lpa_fp_c_d")
+    assert {(r.id, r.comm) for r in sl.labels.collect()} == {
+        (r.id, r.comm) for r in sref.labels.collect()
+    }
+
+    # (d) sparse duplicates: clique ring + one reversed existing edge
+    # (the canonical fixture stores each undirected edge once, so the
+    # reverse row duplicates its sym pair); dup mass 2 of ~370 msgs
+    # engages the fast path with the dup-correction candidates live
+    base_edges, _ = fx.ring_of_cliques(spark)
+    one = base_edges.limit(1).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    mix = base_edges.unionByName(one)
+    dd = lpa(mix, max_iter=15, mode="tables", state_name="lpa_fp_d")
+    assert dd.first_superstep_fast is True
+    ddref = lpa(mix, max_iter=15, mode="dir", state_name="lpa_fp_d_d")
+    # per-superstep mover counts pin superstep-1 equality itself, not
+    # just the (convergence-forgiving) final labels
+    assert dd.changed_history == ddref.changed_history
+    assert {(r.id, r.comm) for r in dd.labels.collect()} == {
+        (r.id, r.comm) for r in ddref.labels.collect()
+    }
