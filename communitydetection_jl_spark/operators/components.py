@@ -107,6 +107,13 @@ def connected_components(
     if ledger is not None:
         state = loop.resume()
     if state is None:
+        # NO dedup at init: both stars reduce through duplicate-
+        # insensitive min aggregations, and round 1's own fused dedup
+        # (below) canonicalizes its output anyway — so an initial
+        # dropDuplicates would only trim the mutual-link fraction
+        # (~0.1% on a crawl graph) while costing an m-group hash
+        # aggregation over the full edge set, the most expensive
+        # single stage of the init at web scale.
         pairs0 = (
             edges.filter(F.col("src") != F.col("dst"))
             .select(
@@ -114,7 +121,6 @@ def connected_components(
                 F.least("src", "dst").alias("b"),
             )
             .repartition(P, "a")
-            .dropDuplicates(["a", "b"])
         )
         state = loop.init(pairs0)
     prev = None
