@@ -20,8 +20,11 @@ under bulk-synchronous execution is impossible in general (SURVEY.md
    flips labels forever); hash-parity alternation is the standard
    deterministic fix and converges like async LPA.
 
-Convergence: a superstep with zero changes AND zero gated would-be
-movers (a true fixpoint under both parities).
+Convergence: semi-sync runs stop after two consecutive zero-mover
+supersteps — one quiet superstep per parity over the same labeling is
+a true fixpoint (a lone quiet superstep only certifies one parity).
+Sync runs keep the one-shot rule (zero changes and zero would-be
+movers, which coincide when every vertex is evaluated).
 
 Execution discipline (plans/iterstate.py): per superstep exactly ONE
 action — the state write with changed/wants counts observed on the
@@ -31,11 +34,26 @@ same job. Three tricks keep the plan narrow:
    zero-weight row flagged cur=true, so (a) every vertex is covered
    without a left-outer join and (b) the sticky tie-break needs no
    extra join against current labels;
+ - active-parity listener filter: under the semi-sync schedule only
+   half the vertices may move in a given superstep, so the gather
+   keeps only active-parity listeners' messages — the vote multiset
+   of an inactive vertex is never consulted this superstep, and its
+   row passes through unchanged via the (already-present) state join.
+   This halves every full gather's exchange volume and aggregation
+   cardinality, including the identity-init first superstep where the
+   (listener, label) group count peaks at ~2m. Exact: movers are
+   decided per-listener from ALL its speakers' labels, which the
+   filter does not touch;
  - the reference's active-node frontier (src/label_propagation.jl:
    100-113) becomes a broadcast semi-join filter: once the observed
-   mover count is small, gather only listeners adjacent to a mover
-   (or gated movers) — exact under sticky tie-breaking because an
-   unchanged vote multiset cannot flip a sticky argmax;
+   mover-degree bound is small, gather only listeners whose argmax
+   inputs could have changed — exact under sticky tie-breaking
+   because an unchanged vote multiset cannot flip a sticky argmax.
+   Semi-sync runs track movers of the last TWO supersteps (state
+   column ``prevch``): a vertex inactive at superstep t re-evaluates
+   at t+1, so movers/mover-neighbors from BOTH t−1 and t are the
+   exact stale set (sync runs keep the one-superstep movers + gated
+   would-be movers form);
  - labels round-trip through parquet/bucketed tables (lineage
    truncation + resume snapshots; see iterstate docstring for the
    measured numbers).
@@ -75,6 +93,7 @@ def lpa_superstep(
     active_parity: int | None = None,
     parity_expr=None,
     active: DataFrame | None = None,
+    listener_pred=None,
 ) -> DataFrame:
     """One gather/argmax superstep. ``sym_edges`` is (src, dst, vote),
     or bare (src, dst) for the unit-vote fast path — then votes are
@@ -82,6 +101,14 @@ def lpa_superstep(
     (the same bytes-per-message cut that fixed PageRank's scaling
     efficiency). ``labels`` is (id, lbl); returns (id, lbl, changed,
     wants).
+
+    ``listener_pred`` (a Column predicate over ``id``) restricts the
+    gather AND the output to matching listeners — label_propagation
+    passes the active-parity test here so a semi-sync full gather
+    shuffles only the half of the messages whose argmax can act this
+    superstep; the caller passes non-matching rows through unchanged.
+    Default None keeps the evaluate-everyone contract (the driver's
+    ``lpa_step`` oracle runs this form).
 
     Kept as a standalone, SQL-checkable unit (the driver oracle runs
     the equivalent ANSI SQL); label_propagation() below fuses the same
@@ -98,6 +125,8 @@ def lpa_superstep(
             ).select(
                 F.explode("srcs").alias("id"), "lbl", F.lit(False).alias("cur")
             )
+            if listener_pred is not None:
+                gather = gather.filter(listener_pred)
             if active is not None:
                 gather = gather.join(
                     F.broadcast(active), "id", "left_semi"
@@ -106,7 +135,11 @@ def lpa_superstep(
             gather = sym_edges.join(
                 state.withColumnRenamed("id", "dst"), "dst"
             ).select(F.col("src").alias("id"), "lbl", F.lit(False).alias("cur"))
+            if listener_pred is not None:
+                gather = gather.filter(listener_pred)
         self_rows = state.select("id", "lbl", F.lit(True).alias("cur"))
+        if listener_pred is not None:
+            self_rows = self_rows.filter(listener_pred)
         # ONE exchange per superstep: hash-partitioning by id alone
         # satisfies the clustering needs of BOTH the (id,lbl) count agg
         # and the (id) argmax agg, so neither inserts its own shuffle
@@ -130,9 +163,13 @@ def lpa_superstep(
         ).select(
             F.col("src").alias("id"), "lbl", "vote", F.lit(False).alias("cur")
         )
+        if listener_pred is not None:
+            gather = gather.filter(listener_pred)
         self_rows = state.select(
             "id", "lbl", F.lit(0.0).alias("vote"), F.lit(True).alias("cur")
         )
+        if listener_pred is not None:
+            self_rows = self_rows.filter(listener_pred)
         counts = (
             gather.unionByName(self_rows)
             .repartition("id")
@@ -304,6 +341,10 @@ def label_propagation(
     state = None
     if ledger is not None:
         state = loop.resume()
+        if state is not None and "prevch" not in state.columns:
+            # snapshot from a pre-prevch build: True is the safe value
+            # (forces the first post-resume frontiers wide open)
+            state = state.withColumn("prevch", F.lit(True))
     start_iter = loop.iteration if state is not None else 0
     if state is None:
         # deg rides in the state so each superstep can OBSERVE
@@ -324,6 +365,7 @@ def label_propagation(
                     F.col("id").alias("lbl"),
                     F.lit(True).alias("changed"),
                     F.lit(False).alias("wants"),
+                    F.lit(False).alias("prevch"),
                     F.col("id").alias("prev"),
                     "deg",
                 )
@@ -353,6 +395,7 @@ def label_propagation(
                     "lbl",
                     F.lit(True).alias("changed"),
                     F.lit(False).alias("wants"),
+                    F.lit(False).alias("prevch"),
                     F.col("lbl").alias("prev"),
                     F.coalesce("deg", F.lit(0)).alias("deg"),
                 )
@@ -362,7 +405,9 @@ def label_propagation(
     iter_secs: list[float] = []
     it = start_iter
     changed_cnt = wants_cnt = None  # unknown -> full gather
-    frontier_bound = None
+    prev_changed_cnt = None         # movers one superstep earlier
+    frontier_bound = None           # Σ(deg+1) over last supersteps' movers
+    fbound2_cnt = None              # same over the last TWO supersteps
     delta_ok = delta and csr and unit and mode == "tables" \
         and "prev" in state.columns
     # identity-init first superstep: with identity labels, (listener,
@@ -448,8 +493,18 @@ def label_propagation(
                     )
                     counts, _ = counts_loop.step(merged, {})
                 # argmax over the maintained counts: both sides bucketed
-                # by id, zero exchange
-                j = counts.join(
+                # by id, zero exchange. Semi-sync: only active-parity
+                # listeners' argmax can act, so the counts side is
+                # parity-filtered up front — inactive rows fall out of
+                # ``best`` and pass through via the left join below
+                # (coalesce keeps their current label), exactly like the
+                # filtered full gather.
+                cnt_side = counts.select("id", "lbl", "cnt")
+                if parity is not None:
+                    pexpr = parity_expr if parity_expr is not None \
+                        else F.pmod(F.xxhash64("id"), F.lit(2))
+                    cnt_side = cnt_side.filter(pexpr == F.lit(parity))
+                j = cnt_side.join(
                     state.select("id", F.col("lbl").alias("cur_lbl")), "id"
                 )
                 best = j.groupBy("id").agg(
@@ -462,21 +517,16 @@ def label_propagation(
                     )).alias("_want")
                 ).select("id", F.col("_want.lbl").alias("want_lbl"))
                 base = state.select(
-                    "id", F.col("lbl").alias("cur_lbl"), "deg")
+                    "id", F.col("lbl").alias("cur_lbl"),
+                    F.col("changed").alias("pch"), "deg")
                 want = F.coalesce("want_lbl", F.col("cur_lbl"))
-                if parity is not None:
-                    pexpr = parity_expr if parity_expr is not None \
-                        else F.pmod(F.xxhash64("id"), F.lit(2))
-                    new_lbl = F.when(
-                        pexpr == F.lit(parity), want
-                    ).otherwise(F.col("cur_lbl"))
-                else:
-                    new_lbl = want
+                new_lbl = want
                 stepped = base.join(best, "id", "left").select(
                     "id",
                     new_lbl.alias("lbl"),
                     (new_lbl != F.col("cur_lbl")).alias("changed"),
                     (want != F.col("cur_lbl")).alias("wants"),
+                    F.col("pch").alias("prevch"),
                     F.col("cur_lbl").alias("prev"),
                     "deg",
                 )
@@ -500,11 +550,23 @@ def label_propagation(
                 # test_lpa_first_superstep_fastpath and transitively by
                 # the lpa_full recursive-CTE oracle.
                 used_fast1 = True
+                # semi-sync: only active-parity listeners can act — the
+                # min-agg and dup-correction gathers keep only their
+                # messages (half the exchange); inactive rows fall to
+                # the want=cur degenerate case of the left join below
+                pfilter = None
+                if parity is not None:
+                    pexpr = parity_expr if parity_expr is not None \
+                        else F.pmod(F.xxhash64("id"), F.lit(2))
+                    pfilter = pexpr == F.lit(parity)
+                ugather = sym.select(
+                    F.col("dst").alias("spk"),
+                    F.explode("srcs").alias("id"),
+                )
+                if pfilter is not None:
+                    ugather = ugather.filter(pfilter)
                 uniq = (
-                    sym.select(
-                        F.col("dst").alias("spk"),
-                        F.explode("srcs").alias("id"),
-                    )
+                    ugather
                     .groupBy("id")
                     .agg(
                         F.min(
@@ -516,7 +578,7 @@ def label_propagation(
                 )
                 best = uniq
                 if sym_dups:
-                    dupc = (
+                    dgather = (
                         sym.filter(
                             F.size("srcs") != F.size(F.array_distinct("srcs"))
                         )
@@ -524,6 +586,11 @@ def label_propagation(
                             F.col("dst").alias("spk"),
                             F.explode("srcs").alias("id"),
                         )
+                    )
+                    if pfilter is not None:
+                        dgather = dgather.filter(pfilter)
+                    dupc = (
+                        dgather
                         .groupBy("id", "spk")
                         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
                         .filter(F.col("cnt") > 1)
@@ -538,7 +605,8 @@ def label_propagation(
                     )
                     best = uniq.join(dupc, "id", "left")
                 base = state.select(
-                    "id", F.col("lbl").alias("cur_lbl"), "deg")
+                    "id", F.col("lbl").alias("cur_lbl"),
+                    F.col("changed").alias("pch"), "deg")
                 joined = base.join(best, "id", "left")
                 cand_self = F.struct(
                     F.coalesce(F.col("selfv"), F.lit(0)).cast("long")
@@ -559,88 +627,181 @@ def label_propagation(
                 cands = [cand_self, cand_min]
                 if sym_dups:
                     cands.append(F.col("wd"))
+                # the parity gate already acted as the gather filter:
+                # filtered-out listeners have no uniq/dupc row, so their
+                # candidates degenerate to the self candidate (want=cur)
                 want = F.greatest(*cands).getField("lbl")
-                if parity is not None:
-                    pexpr = parity_expr if parity_expr is not None \
-                        else F.pmod(F.xxhash64("id"), F.lit(2))
-                    new_lbl = F.when(
-                        pexpr == F.lit(parity), want
-                    ).otherwise(F.col("cur_lbl"))
-                else:
-                    new_lbl = want
+                new_lbl = want
                 stepped = joined.select(
                     "id",
                     new_lbl.alias("lbl"),
                     (new_lbl != F.col("cur_lbl")).alias("changed"),
                     (want != F.col("cur_lbl")).alias("wants"),
+                    F.col("pch").alias("prevch"),
                     F.col("cur_lbl").alias("prev"),
                     "deg",
                 )
             else:
                 gather_sym = sym
                 active_set = None
-                small_frontier = (
-                    frontier
-                    and changed_cnt is not None
-                    and frontier_bound is not None
-                    and (frontier_bound + wants_cnt) <= frontier_max
-                )
-                if small_frontier:
-                    movers = state.filter("changed").select("id")
-                    gated = state.filter("wants and not changed").select("id")
-                    if csr:
-                        nbrs = sym.join(
-                            F.broadcast(movers.withColumnRenamed("id", "dst")),
-                            "dst", "left_semi",
-                        ).select(F.explode("srcs").alias("id"))
-                    else:
-                        nbrs = sym.join(
-                            F.broadcast(movers.withColumnRenamed("id", "dst")),
-                            "dst", "left_semi",
-                        ).select(F.col("src").alias("id"))
-                    active = (
-                        nbrs.unionByName(movers).unionByName(gated).distinct()
+                if parity is not None:
+                    # semi-sync full gather: evaluate ONLY active-parity
+                    # listeners (lpa_superstep's listener_pred) — half
+                    # the exchange volume and agg cardinality of the
+                    # superstep's dominant stage; inactive rows pass
+                    # through the state left join below unchanged.
+                    # Frontier stale set = movers of the last TWO
+                    # supersteps (changed | prevch) plus their
+                    # neighbors: a vertex inactive at t re-evaluates at
+                    # t+1, so both supersteps' moves (multiset changes
+                    # AND the movers' own sticky-state changes) are
+                    # exactly what it missed; with the filter, every
+                    # evaluated wanter moves, so the old gated
+                    # (wants-and-not-changed) set is structurally empty.
+                    pexpr = parity_expr if parity_expr is not None \
+                        else F.pmod(F.xxhash64("id"), F.lit(2))
+                    small_frontier = (
+                        frontier
+                        and changed_cnt is not None
+                        and fbound2_cnt is not None
+                        and fbound2_cnt <= frontier_max
                     )
-                    if csr:
-                        # CSR rows can't be pre-filtered by listener; the
-                        # broadcast filter applies right after the explode
-                        active_set = active
-                    else:
-                        gather_sym = sym.join(
-                            F.broadcast(active.withColumnRenamed("id", "src")),
-                            "src",
-                            "left_semi",
+                    if small_frontier:
+                        movers = state.filter("changed or prevch").select("id")
+                        if csr:
+                            nbrs = sym.join(
+                                F.broadcast(
+                                    movers.withColumnRenamed("id", "dst")),
+                                "dst", "left_semi",
+                            ).select(F.explode("srcs").alias("id"))
+                        else:
+                            nbrs = sym.join(
+                                F.broadcast(
+                                    movers.withColumnRenamed("id", "dst")),
+                                "dst", "left_semi",
+                            ).select(F.col("src").alias("id"))
+                        active = nbrs.unionByName(movers).distinct()
+                        if csr:
+                            # CSR rows can't be pre-filtered by listener;
+                            # the broadcast filter applies post-explode
+                            active_set = active
+                        else:
+                            gather_sym = sym.join(
+                                F.broadcast(
+                                    active.withColumnRenamed("id", "src")),
+                                "src",
+                                "left_semi",
+                            )
+                    ev = lpa_superstep(
+                        gather_sym,
+                        state.select("id", "lbl"),
+                        sticky=sticky,
+                        active=active_set,
+                        listener_pred=pexpr == F.lit(parity),
+                    ).select(
+                        "id",
+                        F.col("lbl").alias("ev_lbl"),
+                        F.col("changed").alias("ev_ch"),
+                    )
+                    stepped = state.select(
+                        "id", F.col("lbl").alias("cur_lbl"),
+                        F.col("changed").alias("pch"), "deg",
+                    ).join(ev, "id", "left").select(
+                        "id",
+                        F.coalesce("ev_lbl", F.col("cur_lbl")).alias("lbl"),
+                        F.coalesce("ev_ch", F.lit(False)).alias("changed"),
+                        F.coalesce("ev_ch", F.lit(False)).alias("wants"),
+                        F.col("pch").alias("prevch"),
+                        F.col("cur_lbl").alias("prev"),
+                        "deg",
+                    )
+                else:
+                    # sync schedule: every vertex evaluates every
+                    # superstep (no parity filter); frontier keeps the
+                    # one-superstep movers + gated would-be movers form
+                    small_frontier = (
+                        frontier
+                        and changed_cnt is not None
+                        and frontier_bound is not None
+                        and (frontier_bound + wants_cnt) <= frontier_max
+                    )
+                    if small_frontier:
+                        movers = state.filter("changed").select("id")
+                        gated = state.filter("wants and not changed").select("id")
+                        if csr:
+                            nbrs = sym.join(
+                                F.broadcast(
+                                    movers.withColumnRenamed("id", "dst")),
+                                "dst", "left_semi",
+                            ).select(F.explode("srcs").alias("id"))
+                        else:
+                            nbrs = sym.join(
+                                F.broadcast(
+                                    movers.withColumnRenamed("id", "dst")),
+                                "dst", "left_semi",
+                            ).select(F.col("src").alias("id"))
+                        active = (
+                            nbrs.unionByName(movers).unionByName(gated)
+                            .distinct()
                         )
+                        if csr:
+                            active_set = active
+                        else:
+                            gather_sym = sym.join(
+                                F.broadcast(
+                                    active.withColumnRenamed("id", "src")),
+                                "src",
+                                "left_semi",
+                            )
 
-                stepped = lpa_superstep(
-                    gather_sym,
-                    state.select("id", "lbl"),
-                    sticky=sticky,
-                    active_parity=parity,
-                    parity_expr=parity_expr,
-                    active=active_set,
-                ).join(
-                    state.select(
-                        "id", F.col("lbl").alias("prev"), "deg"), "id"
-                )
+                    stepped = lpa_superstep(
+                        gather_sym,
+                        state.select("id", "lbl"),
+                        sticky=sticky,
+                        active_parity=parity,
+                        parity_expr=parity_expr,
+                        active=active_set,
+                    ).join(
+                        state.select(
+                            "id", F.col("lbl").alias("prev"),
+                            F.col("changed").alias("prevch"), "deg"), "id"
+                    )
             state, got = loop.step(
                 stepped,
                 {
                     "changed": F.sum(F.col("changed").cast("long")),
                     "wants": F.sum(F.col("wants").cast("long")),
-                    # bound on |active|: movers + their neighbors + gated
+                    # bound on |active|: movers + their neighbors (+ the
+                    # sync schedule's gated set); fbound2 widens it to
+                    # the last TWO supersteps for the semi-sync frontier
                     "fbound": F.sum(
                         F.when(F.col("changed"), F.col("deg") + 1).otherwise(F.lit(0))
+                    ),
+                    "fbound2": F.sum(
+                        F.when(
+                            F.col("changed") | F.col("prevch"),
+                            F.col("deg") + 1,
+                        ).otherwise(F.lit(0))
                     ),
                 },
             )
             changed_cnt = int(got.get("changed") or 0)
             wants_cnt = int(got.get("wants") or 0)
             frontier_bound = int(got.get("fbound") or 0)
+            fbound2_cnt = int(got.get("fbound2") or 0)
             changed_history.append(changed_cnt)
             iter_secs.append(_time.time() - t_it)
-            if changed_cnt == 0 and wants_cnt == 0:
+            if parity is not None:
+                # one quiet superstep certifies only one parity; two in
+                # a row evaluate BOTH parities on the same labeling —
+                # a true fixpoint (and with the listener filter, an
+                # inactive vertex's would-be move is simply its move one
+                # superstep later, so this never stops early)
+                if changed_cnt == 0 and prev_changed_cnt == 0:
+                    break
+            elif changed_cnt == 0 and wants_cnt == 0:
                 break
+            prev_changed_cnt = changed_cnt
             if (
                 delta_ok
                 and counts is None

@@ -183,8 +183,12 @@ def main() -> None:
         f"## Scaling (sandbox proxy for N → 4N executors: local[{small_c}] vs local[{big_c}])",
         "",
         "Throughput = edges/sec per superstep from the steady-state MEDIAN",
-        "superstep wall time (PageRank gathers m arcs; LPA gathers 2m",
-        "symmetrized messages). LPA reads FULL-GATHER supersteps only:",
+        "superstep wall time (PageRank gathers m arcs; LPA advances 2m",
+        "symmetrized messages of algorithmic work per superstep — the",
+        "active-parity listener filter physically gathers ~half of them,",
+        "identically on both legs, so the 2m convention is an effective",
+        "throughput and cancels out of the efficiency ratio).",
+        "LPA reads FULL-GATHER supersteps only:",
         "after the delta-counts path engages (lpa_delta_from — the same",
         "deterministic superstep on both legs) a superstep processes",
         "O(changed_edges), not 2m, so delta iterations are excluded from",

@@ -342,6 +342,39 @@ def test_lpa_delta_counts_exact(spark):
         assert a == b, name
 
 
+def test_lpa_strategy_invariance(spark):
+    """Execution strategy must never change the answer: the semi-sync
+    active-parity listener filter, the two-superstep (changed|prevch)
+    broadcast frontier, and the delta-counts path are all pure
+    execution choices over the same semantics. Four configurations —
+    plain dir mode, tables with frontier+delta disabled, tables with a
+    force-engaged frontier, tables with force-engaged delta — must
+    produce identical per-superstep mover counts and identical final
+    labels."""
+    for fixture, name in ((fx.ring_of_cliques, "rc"), (fx.gn, "gn")):
+        edges, _ = fixture(spark)
+        runs = {
+            "dir": lpa(edges, max_iter=30, mode="dir",
+                       state_name=f"lpa_si_dir_{name}"),
+            "bare": lpa(edges, max_iter=30, mode="tables", frontier=False,
+                        delta=False, state_name=f"lpa_si_bare_{name}"),
+            "frontier": lpa(edges, max_iter=30, mode="tables", delta=False,
+                            frontier_max=10**9,
+                            state_name=f"lpa_si_fr_{name}"),
+            "delta": lpa(edges, max_iter=30, mode="tables",
+                         delta_msgs_frac=3.0,
+                         state_name=f"lpa_si_dl_{name}"),
+        }
+        hist = {k: r.changed_history for k, r in runs.items()}
+        assert hist["dir"] == hist["bare"] == hist["frontier"] == hist["delta"], (
+            name, hist)
+        labels = {
+            k: {(r.id, r.comm) for r in v.labels.collect()}
+            for k, v in runs.items()
+        }
+        assert labels["dir"] == labels["bare"] == labels["frontier"] == labels["delta"], name
+
+
 def test_louvain_gain_floor_stop(spark):
     """gain_floor — the distributed analogue of the reference's
     per-pass improvement threshold (src/Optimiser.jl:135-148): a sweep
