@@ -177,9 +177,12 @@ def lpa_superstep(
             .agg(F.sum("vote").alias("cnt"), F.max("cur").alias("cur"))
         )
     # argmax as max-of-struct (lexicographic: count, sticky flag,
-    # smallest-label) — a DeclarativeAggregate, so Spark keeps it in a
-    # whole-stage-codegen HashAggregate; max_by would force a
-    # SortAggregate that sorts the full 2m-row gather every superstep
+    # smallest-label). Physical plan (audited via explain("formatted")):
+    # the struct agg buffer is not fixed-width, so this lands in a
+    # SortAggregate — but over the ALREADY-AGGREGATED (id,lbl) groups,
+    # partition-local, inside the same post-exchange stage (no second
+    # shuffle, no sort of the raw 2m-row gather; the sort is O(groups)
+    # per partition and spillable)
     best = counts.groupBy("id").agg(
         F.max(
             F.struct(
