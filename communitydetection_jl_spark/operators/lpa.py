@@ -309,7 +309,7 @@ def label_propagation(
             # no single row ever holds a web-hub's full in-link list;
             # the gather explodes the arrays, so chunking is invisible
             # to the superstep semantics (lpa_full oracle pins this).
-            sym_plan = csr_adjacency(sym_plan, "dst", "src", "srcs")
+            sym_plan = csr_adjacency(sym_plan, "dst", "src", "srcs", parts=P)
             # exact duplicate-(listener, speaker) count, observed free
             # on the build write: csr_adjacency buckets chunk rows by
             # pmod(xxhash64(src), nchunks), so every duplicate of a
@@ -327,7 +327,10 @@ def label_propagation(
                 ).alias("dups"),
                 F.coalesce(F.sum(F.size("srcs")), F.lit(0)).alias("msgs"),
             )
-        w = sym_plan.repartition(P, "dst").write
+        # the CSR branch already lands on hash(dst, P) via
+        # csr_adjacency(parts=P) — repartitioning again would move the
+        # full array data through a second exchange
+        w = (sym_plan if unit else sym_plan.repartition(P, "dst")).write
         if state_codec():
             w = w.option("compression", state_codec())
         w.bucketBy(P, "dst").mode("overwrite").saveAsTable(sym_table)

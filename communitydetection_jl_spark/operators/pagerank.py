@@ -108,7 +108,7 @@ def pagerank(
         # so a 1e7-out-degree vertex never becomes one giant array row;
         # the superstep explodes the arrays, so chunk rows sum the same
         arcs_plan = csr_adjacency(
-            edges.select("src", "dst"), "src", "dst", "dsts"
+            edges.select("src", "dst"), "src", "dst", "dsts", parts=P
         )
     else:
         # weighted CSR: one row per source with (dst, trans_prob)
@@ -121,35 +121,24 @@ def pagerank(
             ),
             "src", "dst", "nbrs",
             payload=F.struct("dst", "tp"),
+            parts=P,
         )
     arcs_table = None
     if mode == "tables":
         arcs_table = f"{loop.name}_arcs"
         loop._drop_table(arcs_table)
-        w = arcs_plan.repartition(P, "src").write
+        # csr_adjacency(parts=P) already lands on hash(src, P): the
+        # bucketed write gets one file per bucket with no repartition
+        w = arcs_plan.write
         if state_codec():
             w = w.option("compression", state_codec())
         w.bucketBy(P, "src").mode("overwrite").saveAsTable(arcs_table)
         arcs = spark.table(arcs_table)
     else:
-        arcs = arcs_plan.repartition(P, "src").persist()
+        arcs = arcs_plan.persist()
         arcs.count()
 
-    # derive vertices and out-degrees from the materialized CSR instead
-    # of re-scanning + re-shuffling the raw edge pairs: outdeg is a
-    # zero-exchange agg on the bucketed arcs table (sum of array sizes
-    # per src key), and vertex discovery reads the (smaller) CSR file
     adj_col = "dsts" if uniform else "nbrs"
-    outdeg = arcs.groupBy(F.col("src").alias("id")).agg(
-        F.sum(F.size(adj_col)).cast("long").alias("outdeg")
-    )
-    exploded = arcs.select(F.explode(adj_col).alias("_e"))
-    verts = (
-        arcs.select(F.col("src").alias("id"))
-        .unionByName(exploded.select(
-            (F.col("_e") if uniform else F.col("_e.dst")).alias("id")))
-        .distinct()
-    )
 
     state = None
     if ledger is not None:
@@ -157,32 +146,63 @@ def pagerank(
         if state is not None and "outdeg" not in state.columns:
             state = None  # pre-fast-path snapshot; restart cleanly
     start_iter = loop.iteration if state is not None else 0
+    dang = F.col("outdeg") == 0
     if state is None:
         loop.iteration = 0
         start_iter = 0
-        state0 = verts.join(outdeg, "id", "left").select(
-            "id",
-            F.lit(0.0).alias("p"),
-            F.coalesce("outdeg", F.lit(0)).cast("int").alias("outdeg"),
+        # vertex discovery + out-degree in ONE union-aggregate over the
+        # materialized CSR (src keys contribute their array sizes, dst
+        # occurrences contribute 0): one exchange with map-side partial
+        # aggregation, replacing the former explode→distinct→join
+        # pipeline (a second full-m pass plus a join). The n and
+        # dangling counts ride the init write as observe() metrics —
+        # no post-init scan job.
+        from pyspark.sql import Observation
+
+        dst_expr = F.col("_e") if uniform else F.col("_e.dst")
+        state0 = (
+            arcs.select(
+                F.col("src").alias("id"),
+                F.size(adj_col).cast("long").alias("_d"),
+            )
+            .unionByName(
+                arcs.select(F.explode(adj_col).alias("_e"))
+                .select(dst_expr.alias("id"), F.lit(0).cast("long").alias("_d"))
+            )
+            .groupBy("id")
+            .agg(F.sum("_d").cast("int").alias("outdeg"))
+            .select("id", F.lit(0.0).alias("p"), "outdeg")
+        )
+        init_obs = Observation(f"{loop.name}_init_stats")
+        state0 = state0.observe(
+            init_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dang.cast("long")).alias("nd"),
         )
         state = loop.init(state0)
-
-    dang = F.col("outdeg") == 0
-    row = state.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dang.cast("long")).alias("nd"),
-        F.sum("p").alias("ptot"),
-    ).collect()[0]
-    n = int(row["n"])
+        got0 = init_obs.get
+        n = int(got0["n"] or 0)
+        nd = int(got0["nd"] or 0)
+        ptot = 0.0
+    else:
+        row = state.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dang.cast("long")).alias("nd"),
+            F.sum("p").alias("ptot"),
+        ).collect()[0]
+        n = int(row["n"])
+        nd = int(row["nd"] or 0)
+        ptot = float(row["ptot"] or 0.0)
     if n == 0:
         loop.cleanup()
         empty = spark.createDataFrame([], "id long, pagerank double")
         return PageRankResult(empty, 0, 0.0)
-    if start_iter == 0 or not row["ptot"]:
+    if start_iter == 0 or not ptot:
         # fresh run: uniform init (can't bake 1/n into state0 before n
-        # is known without an extra count job)
+        # is known without an extra count job); rides the first
+        # superstep's write lazily
         state = state.select("id", F.lit(1.0 / n).alias("p"), "outdeg")
-        dang_mass = float(row["nd"] or 0) / n
+        dang_mass = nd / n
     else:
         dang_mass = float(
             state.agg(F.sum(F.when(dang, F.col("p")))).collect()[0][0] or 0.0
