@@ -220,7 +220,7 @@ def main() -> None:
           .agg(F.sum("cn")).collect())
     timed("part_lpa", lambda: lpa(part_edges, max_iter=20).labels.count())
     def _run_louvain():
-        res = louvain(part_edges)
+        res = louvain(part_edges, mode=bench_mode)
         res.membership.count()
         return res
 

@@ -160,13 +160,16 @@ def _local_infomap(pairs, p, eps=1e-12, max_sweeps=100):
 # distributed bulk move phase
 # ----------------------------------------------------------------------
 
-def _infomap_sweep(arcs: DataFrame, memb: DataFrame, flows: DataFrame,
+def _infomap_sweep(sym: DataFrame, memb: DataFrame, flows: DataFrame,
                    parity: int, eps: float, parity_expr=None,
                    score_round: int | None = None) -> DataFrame:
     """One bulk ΔL-scoring sweep; returns (id, comm, moved).
 
-    ``arcs``: canonical (src, dst, t) inter-node arc probs (t = w/2m,
-    self-loops excluded). ``flows``: (id, p, t_out). One m-sized
+    ``sym``: the level's SYMMETRIZED (src, dst, t) arc-prob view
+    (self-loops excluded), materialized once per level by
+    ``_distributed_level`` — the louvain.py per-level side-table
+    discipline (rebuilding it per sweep re-unioned and re-shuffled the
+    2m rows every sweep). ``flows``: (id, p, t_out). One m-sized
     shuffle (the t_uc gather); comm stats and Σq derive from it.
 
     ``parity_expr``: overrides the hash-parity conflict gate with a
@@ -184,9 +187,6 @@ def _infomap_sweep(arcs: DataFrame, memb: DataFrame, flows: DataFrame,
     verified empirically on the oracle slice). Production sweeps keep
     the unquantized score (default None)."""
     mm = memb.select("id", F.col("comm").alias("c"))
-    sym = arcs.select("src", "dst", "t").unionByName(
-        arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "t")
-    )
     # t(u → community of neighbor); materialized — reused by the stats
     # agg AND the scoring join without re-shuffling m rows
     t_to = materialize_iter(
@@ -272,9 +272,17 @@ def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
         memb = loop.init(verts.select("id", F.col("id").alias("comm")))
         n = memb.count()
         flows.count()
+        # symmetrized arc-prob view, materialized ONCE per level (the
+        # per-sweep rebuild re-unioned + re-shuffled 2m rows per sweep)
+        sym = materialize_iter(
+            arcs.select("src", "dst", "t").unionByName(
+                arcs.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "t")
+            ).repartition(parts, "dst")
+        )
         for sweep in range(max_sweeps):
             memb, got = loop.step(
-                _infomap_sweep(arcs, memb.select("id", "comm"), flows,
+                _infomap_sweep(sym, memb.select("id", "comm"), flows,
                                sweep % 2, eps, parity_expr=parity_expr,
                                score_round=score_round),
                 {"moved": F.sum(F.col("moved").cast("long"))},

@@ -291,10 +291,17 @@ def _strengths(edges: DataFrame) -> DataFrame:
     return per_end.groupBy("id").agg(F.sum("weight").alias("k"))
 
 
-def _move_sweep(edges: DataFrame, memb: DataFrame, aux: DataFrame,
+def _move_sweep(sym: DataFrame, memb: DataFrame, aux: DataFrame,
                 penalty: float, parity: int, eps: float,
                 parity_expr=None) -> DataFrame:
     """One bulk gain-scoring sweep; returns updated (id, comm).
+
+    ``sym`` is the level's SELF-LOOP-FREE symmetrized weighted view
+    (src, dst, weight), materialized ONCE per level by
+    ``_distributed_level`` — bucketed on ``dst`` in tables mode so the
+    per-sweep membership join needs no exchange on the 2m-row side
+    (the LPA side-table discipline, operators/lpa.py:336; rebuilding
+    sym per sweep cost a full 2m-row exchange every sweep).
 
     ``aux`` is (id, k2): per-vertex null-model mass (strength for
     modularity/RB-configuration, node size for CPM); the gain for u→c is
@@ -306,14 +313,21 @@ def _move_sweep(edges: DataFrame, memb: DataFrame, aux: DataFrame,
     reproducible (the driver's louvain_det row replays these bulk
     sweeps move set by move set in a recursive CTE)."""
     mm = memb.select("id", F.col("comm").alias("c"))
-    e = with_weight(edges).filter(F.col("src") != F.col("dst"))
-    sym = e.select("src", "dst", "weight").unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-    )
-    # w(u → community of neighbor)
+    pexpr = parity_expr if parity_expr is not None else F.pmod(F.xxhash64("id"), F.lit(2))
+    # w(u → community of neighbor), gathered for ACTIVE-parity
+    # listeners only — the LPA listener filter (operators/lpa.py):
+    # inactive vertices keep c regardless of their argmax, so scoring
+    # them is discarded work; the filter halves the sweep's dominant
+    # shuffle (the w_to aggregation) and is exact because a listener's
+    # candidate set depends only on its OWN messages, which the filter
+    # never touches. Inactive rows ride through the final left join
+    # with best=null → comm unchanged.
+    listeners = sym.select(F.col("src").alias("id"), "dst", "weight")
+    listeners = listeners.filter(pexpr == F.lit(parity))
     w_to = (
-        sym.join(mm.withColumnRenamed("id", "dst").withColumnRenamed("c", "nc"), "dst")
-        .groupBy(F.col("src").alias("id"), F.col("nc").alias("cand"))
+        listeners.join(
+            mm.withColumnRenamed("id", "dst").withColumnRenamed("c", "nc"), "dst")
+        .groupBy("id", F.col("nc").alias("cand"))
         .agg(F.sum("weight").alias("w_uc"))
     )
     tot = (
@@ -328,19 +342,27 @@ def _move_sweep(edges: DataFrame, memb: DataFrame, aux: DataFrame,
         .withColumn("tot_excl", F.col("tot") - F.when(F.col("cand") == F.col("c"), F.col("k2")).otherwise(F.lit(0.0)))
         .withColumn("score", F.col("w_uc") - F.lit(penalty) * F.col("k2") * F.col("tot_excl"))
     )
-    # baseline = score of staying (w to own community minus self)
-    base = cand.filter(F.col("cand") == F.col("c")).select(
-        "id", F.col("score").alias("base")
+    # best foreign candidate AND the stay-put baseline in ONE
+    # aggregation pass: max_by skips rows whose ordering value is null
+    # (verified: all-own-community groups yield best_c = null, exactly
+    # the old filter+groupBy), and the conditional max over cand == c
+    # rows replaces what used to be a separate filter + an extra join
+    # against a `base` frame — two exchanges fewer per sweep, which at
+    # part-graph scale is most of a sweep's wall time (the sweeps are
+    # stage-count-bound, not data-bound, at 1.2M edges / 24 partitions)
+    foreign = F.when(
+        F.col("cand") != F.col("c"),
+        F.struct(F.col("score"), (-F.col("cand")).alias("nb")),
     )
-    best = (
-        cand.filter(F.col("cand") != F.col("c"))
-        .groupBy("id")
-        .agg(
-            F.max_by("cand", F.struct(F.col("score"), (-F.col("cand")).alias("nb"))).alias("best_c"),
-            F.max(F.col("score")).alias("best_score"),
-        )
+    best = cand.groupBy("id").agg(
+        F.max_by("cand", foreign).alias("best_c"),
+        F.max(F.when(F.col("cand") != F.col("c"), F.col("score"))).alias("best_score"),
+        F.max(F.when(F.col("cand") == F.col("c"), F.col("score"))).alias("base"),
     )
-    pexpr = parity_expr if parity_expr is not None else F.pmod(F.xxhash64("id"), F.lit(2))
+    # the parity gate in new_c is redundant with the listener filter
+    # above (only active-parity ids have non-null best rows) but kept
+    # as belt-and-braces so the accept rule reads the same as the
+    # louvain_det oracle CTE
     new_c = (
         F.when(
             (F.col("best_score") - F.coalesce("base", F.lit(0.0)) > eps)
@@ -352,7 +374,6 @@ def _move_sweep(edges: DataFrame, memb: DataFrame, aux: DataFrame,
     moved = new_c != F.col("c")
     upd = (
         mm.join(best, "id", "left")
-        .join(base, "id", "left")
         .select(
             "id", new_c.alias("comm"), moved.alias("moved"),
             # per-move objective gain (weight units): drives the
@@ -372,7 +393,8 @@ def _kl_col(q, p):
     return t1 + t2
 
 
-def _move_sweep_set(edges: DataFrame, memb: DataFrame, sizes: DataFrame,
+def _move_sweep_set(sym: DataFrame, selfw: DataFrame, memb: DataFrame,
+                    sizes: DataFrame,
                     parity: int, eps: float, objective: str,
                     density: float, n_total: float, m_total: float,
                     parity_expr=None) -> DataFrame:
@@ -382,19 +404,26 @@ def _move_sweep_set(edges: DataFrame, memb: DataFrame, sizes: DataFrame,
     candidate/current community (size, inner-weight), node size,
     self-weight) — one extra groupBy vs the linear sweep, still one
     scoring shuffle. Gains re-derived from the quality formulas
-    (src/MPartition.jl:333-385 surprise, :536-604 significance)."""
+    (src/MPartition.jl:333-385 surprise, :536-604 significance).
+
+    ``sym`` is the level-materialized self-loop-free symmetrized view
+    (see ``_move_sweep``); ``selfw`` the per-vertex self-loop weight,
+    also computed once per level.  Each undirected edge appears in sym
+    in both orientations, so the canonical one-row-per-edge view the
+    inner-weight aggregation needs is exactly ``sym.filter(src < dst)``."""
     mm = memb.select("id", F.col("comm").alias("c"))
-    e = with_weight(edges)
-    eloops = e.filter(F.col("src") == F.col("dst")).select(
-        F.col("src").alias("id"), F.col("weight").alias("sw"))
-    selfw = eloops.groupBy("id").agg(F.sum("sw").alias("sw"))
-    e = e.filter(F.col("src") != F.col("dst"))
-    sym = e.select("src", "dst", "weight").unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-    )
+    e = sym.filter(F.col("src") < F.col("dst"))
+    pexpr = parity_expr if parity_expr is not None else F.pmod(F.xxhash64("id"), F.lit(2))
+    # active-parity listener filter (see _move_sweep): the community
+    # stats (node/inner_e/cstats/sc) read mm and e, NOT w_to, so
+    # restricting the candidate gather to the parity that may act is
+    # exact here too
+    listeners = sym.select(F.col("src").alias("id"), "dst", "weight")
+    listeners = listeners.filter(pexpr == F.lit(parity))
     w_to = (
-        sym.join(mm.withColumnRenamed("id", "dst").withColumnRenamed("c", "nc"), "dst")
-        .groupBy(F.col("src").alias("id"), F.col("nc").alias("cand"))
+        listeners.join(
+            mm.withColumnRenamed("id", "dst").withColumnRenamed("c", "nc"), "dst")
+        .groupBy("id", F.col("nc").alias("cand"))
         .agg(F.sum("weight").alias("w_uc"))
     )
     # per-community (total node size, inner weight incl. self-loops)
@@ -475,7 +504,6 @@ def _move_sweep_set(edges: DataFrame, memb: DataFrame, sizes: DataFrame,
             F.max("gain").alias("best_gain"),
         )
     )
-    pexpr = parity_expr if parity_expr is not None else F.pmod(F.xxhash64("id"), F.lit(2))
     new_c = (
         F.when(
             (F.col("best_gain") > eps)
@@ -501,7 +529,8 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                        node_sizes: DataFrame | None = None,
                        base_scalars: dict | None = None,
                        parity_expr=None,
-                       gain_floor: float | None = 1e-4) -> DataFrame:
+                       gain_floor: float | None = 1e-4,
+                       mode: str = "dir") -> DataFrame:
     """Run bulk move sweeps on one level until (nearly) no vertex moves.
 
     ``move_floor`` is the reference's δ move floor (src/Optimiser.jl:148):
@@ -530,7 +559,7 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     the genuinely-improving level 0 runs its full 30; see
     BENCH/BASELINE.md round-4 note). ``None`` disables (the
     louvain_det oracle path pins the pure two-quiet-sweeps rule)."""
-    from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
+    from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts, state_codec
 
     spark = edges.sparkSession
     verts = vertices_of(edges)
@@ -546,7 +575,7 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     # whole point of partition-count ∝ data)
     m_cnt = int(row["cnt"] or 0)
     parts = max(4, min(spark.sparkContext.defaultParallelism, m_cnt // 50_000 + 1))
-    loop = StateLoop(spark, f"louvain_l{level}", bucket_key="id",
+    loop = StateLoop(spark, f"louvain_l{level}", mode=mode, bucket_key="id",
                      parts=parts, ledger=None)
     with shuffle_parts(spark, parts):
         # ONE continuous override: init, aux materialization and every
@@ -576,18 +605,54 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
             penalty = gamma / (2.0 * m)
         aux = aux.persist()
         aux.count()
+        # symmetrized self-loop-free weighted view, materialized ONCE
+        # per level (the per-sweep rebuild shuffled all 2m rows into the
+        # membership join EVERY sweep); bucketed on dst in tables mode
+        # so that join is exchange-free on the 2m side for every sweep
+        # of the level — the LPA side-table discipline (lpa.py:336)
+        ew = with_weight(edges).select("src", "dst", "weight")
+        enl = ew.filter(F.col("src") != F.col("dst"))
+        sym_plan = enl.unionByName(
+            enl.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "weight")
+        )
+        sym_table = None
+        if mode == "tables":
+            sym_table = f"{loop.name}_sym"
+            loop._drop_table(sym_table)
+            w = sym_plan.repartition(parts, "dst").write
+            if state_codec():
+                w = w.option("compression", state_codec())
+            w.bucketBy(parts, "dst").mode("overwrite").saveAsTable(sym_table)
+            sym = spark.table(sym_table)
+        else:
+            # dir mode: parquet round-trip (the engine's state
+            # discipline — no block-manager churn, real file stats);
+            # the partitioning hint is lost on read but the per-sweep
+            # union+weight recompute is still gone
+            sym = materialize_iter(sym_plan.repartition(parts, "dst"))
+        selfw = None
+        if setbased:
+            selfw = (
+                ew.filter(F.col("src") == F.col("dst"))
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("weight").alias("sw"))
+                .persist()
+            )
+            selfw.count()
         bs = base_scalars or {}
         low_streak = 0
         with no_aqe(spark):
             for sweep in range(max_sweeps):
                 if setbased:
                     plan = _move_sweep_set(
-                        edges, memb.select("id", "comm"), aux, sweep % 2, eps,
+                        sym, selfw, memb.select("id", "comm"), aux,
+                        sweep % 2, eps,
                         objective, bs.get("density", 0.0),
                         bs.get("n_total", float(n)), bs.get("m_total", m),
                         parity_expr=parity_expr)
                 else:
-                    plan = _move_sweep(edges, memb.select("id", "comm"), aux,
+                    plan = _move_sweep(sym, memb.select("id", "comm"), aux,
                                        penalty, sweep % 2, eps,
                                        parity_expr=parity_expr)
                 memb, got = loop.step(
@@ -615,6 +680,10 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
                     low_streak = 0
     info["sweep_seconds"] = [round(t, 3) for t in loop.timings]
     aux.unpersist()
+    if sym_table is not None:
+        loop._drop_table(sym_table)
+    if selfw is not None:
+        selfw.unpersist()
     loop.cleanup(keep_final=True)
     return memb.select("id", "comm"), info
 
@@ -641,6 +710,7 @@ def louvain(
     init_sizes: DataFrame | None = None,
     record_quality: bool = False,
     base_scalars: dict | None = None,
+    mode: str = "dir",
 ) -> LouvainResult:
     """Quality-optimizing community detection over an undirected edge
     table. ``objective`` dispatches the full reference set
@@ -738,7 +808,7 @@ def louvain(
             move_floor=move_floor, gain_floor=gain_floor, ledger=ledger,
             level=level, objective=objective, gamma=gamma,
             node_sizes=sizes.withColumnRenamed("nsize", "k2"),
-            base_scalars=base_scalars)
+            base_scalars=base_scalars, mode=mode)
         n_before = lvl.count()
         n_after = lvl.select("comm").distinct().count()
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)
