@@ -30,6 +30,7 @@ def collapse_graph(
     membership: DataFrame,
     directed: bool = False,
     check_conservation: bool = False,
+    expected_weight: float | None = None,
 ) -> DataFrame:
     """Contract the graph by community: one node per community, edge
     weight = sum of original weights; intra-community edges become
@@ -56,7 +57,15 @@ def collapse_graph(
             .agg(F.sum("weight").alias("weight"))
         )
     if check_conservation:
-        before = float(with_weight(edges).agg(F.sum("weight")).collect()[0][0] or 0.0)
+        # callers that already hold the level's total weight (louvain
+        # computes it for the null model) pass it in so the check costs
+        # one small agg over the collapsed output instead of an extra
+        # full scan of the fine edge table
+        before = (
+            expected_weight
+            if expected_weight is not None
+            else float(with_weight(edges).agg(F.sum("weight")).collect()[0][0] or 0.0)
+        )
         after = float(out.agg(F.sum("weight")).collect()[0][0] or 0.0)
         assert abs(before - after) < 1e-6, f"weight not conserved: {before} vs {after}"
     return out

@@ -584,8 +584,11 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
         # exchange re-aligning them
         memb = loop.init(verts.select("id", F.col("id").alias("comm")))
         n = memb.count()
+        # n and m ride back in info so the caller's level bookkeeping
+        # (vertex count, collapse weight-conservation check) needs no
+        # extra actions over frames this level already aggregated
         info = {"parts": parts, "sweeps": 0, "sweep_seconds": [],
-                "sweep_moved": [], "sweep_gain": []}
+                "sweep_moved": [], "sweep_gain": [], "n": n, "m": m}
         if m <= 0:
             loop.cleanup(keep_final=True)
             return memb, info
@@ -809,7 +812,11 @@ def louvain(
             level=level, objective=objective, gamma=gamma,
             node_sizes=sizes.withColumnRenamed("nsize", "k2"),
             base_scalars=base_scalars, mode=mode)
-        n_before = lvl.count()
+        # vertex count is invariant across sweeps — the level already
+        # counted it at state init (rides back in lvl_info); only the
+        # surviving-community count needs a fresh action
+        n_before = lvl_info.pop("n")
+        lvl_m = lvl_info.pop("m")
         n_after = lvl.select("comm").distinct().count()
         memb = lvl if memb is None else from_coarser_partition(memb, lvl)
         memb = materialize_iter(memb)  # truncate the level-join chain
@@ -826,7 +833,8 @@ def louvain(
         if n_after == n_before:
             break
         cur_edges = materialize_iter(
-            collapse_graph(cur_edges, lvl, check_conservation=True)
+            collapse_graph(cur_edges, lvl, check_conservation=True,
+                           expected_weight=lvl_m)
         )
         sizes = (
             sizes.join(lvl, "id")
