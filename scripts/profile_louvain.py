@@ -1,14 +1,18 @@
 """A/B bed for the distributed Louvain sweep loop.
 
-Round-4 question: part_louvain's level-0 sweeps cost ~2.2s each on a
-1.2M-edge / 20k-vertex graph at local[32] — pure per-sweep plan
-overhead, since the data is tiny.  Each sweep currently rebuilds the
-symmetrized weighted view from the level's edge parquet and shuffles it
-into the membership join; materializing sym ONCE per level as a
-bucketed side table (the LPA trick, operators/lpa.py:336) should remove
-the per-sweep 2m-row exchange and the recompute.
+Round-4 finding: part_louvain's level-0 sweeps cost ~2.2-2.5s each on
+a 1.2M-edge / 20k-vertex graph at local[32] — pure per-sweep plan
+overhead, since the data is tiny. Each sweep used to rebuild the
+symmetrized weighted view from the level's edge parquet and shuffle it
+into the membership join, then run separate base/best passes.
+Materializing sym ONCE per level as a bucketed side table (the LPA
+trick, operators/lpa.py:336), gathering only the active parity's
+candidates, and fusing base+best into one aggregation brought the
+steady sweep to ~1.0s on this bed (10-sweep level 67.4s → 21.2s),
+with identical per-sweep move counts and community count.
 
 Usage:  python scripts/profile_louvain.py [sweeps] [sf_dir]
+Env:    BENCH_MODE=tables|dir (default tables, the bench shape)
 Prints one JSON line with per-sweep seconds for the current engine.
 """
 from __future__ import annotations
