@@ -702,7 +702,7 @@ class LouvainResult:
 def louvain(
     edges: DataFrame,
     eps: float = 1e-7,
-    local_threshold: int = 20_000,
+    local_threshold: int = 30_000,
     max_levels: int = 20,
     max_sweeps: int = 30,
     move_floor: float = 0.01,
@@ -725,8 +725,18 @@ def louvain(
     both set-based, unweighted-count semantics like the reference, which
     rejects weighted graphs for them, src/Optimiser.jl:266-268).
     Distributed multi-greedy sweeps + collapse per level; exact
-    sequential greedy below ``local_threshold`` edges (small enough that
-    the distributed path still handles the sf0.1 part graph).
+    sequential greedy below ``local_threshold`` edges. The threshold
+    balances a fixed-cost distributed sweep (~1-2s of scheduling
+    regardless of data) against the driver-local Python greedy
+    (~1-2s at 30k edges): a coarsened level that fits the driver is
+    finished EXACTLY there — the reference's own sequential semantics —
+    instead of burning parity sweeps on a graph too small to
+    parallelize (measured on the sf0.1 part graph: its 21k-edge
+    level-1 collapse local vs distributed is 56.1s vs 69-85s
+    end-to-end AND slightly better Q, 0.085112 vs 0.085072, because
+    sequential moves don't parity-oscillate). Level 0 at bench scale
+    (1.2M edges) stays distributed; at web scale every early level
+    does too.
 
     ``base_scalars`` (find_partition's collapsed re-optimization rounds):
     the BASE graph's {density, n_total, m_total}. When passed, ``edges``
