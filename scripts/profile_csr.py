@@ -83,6 +83,38 @@ def csr_adjacency_shj(
     )
 
 
+def csr_adjacency_hublist(
+    pairs: DataFrame, key: str, nbr: str, out_col: str,
+    cap: int | None = None, payload=None, parts: int | None = None,
+) -> DataFrame:
+    """Degree only matters ABOVE cap (non-hub keys always get
+    nchunks=1, chunk 0 — pmod(h,1)=0), so compute the per-key count
+    once on the already-exchanged rows (co-partitioned agg, zero extra
+    exchange via ReusedExchange), keep only hub keys (a handful even at
+    web scale) and broadcast THAT back. The full 327M-row sort the
+    window form pays to learn every key's degree disappears; the output
+    is multiset-identical (same chunk formula on both paths)."""
+    if cap is None:
+        cap = int(os.environ.get("SPARK_GRAFT_CSR_CAP", "65536"))
+    src = pairs.repartition(parts, key) if parts else pairs
+    hubs = (
+        src.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .filter(F.col("_deg") > cap)
+    )
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("_deg") / F.lit(cap))).cast("int")
+    chunk = F.when(
+        F.col("_deg").isNotNull(),
+        F.pmod(F.xxhash64(nbr), nchunks.cast("long")),
+    ).otherwise(F.lit(0))
+    return (
+        src.join(F.broadcast(hubs), key, "left")
+        .groupBy(key, chunk.alias("_chunk"))
+        .agg(F.collect_list(payload if payload is not None else F.col(nbr)).alias(out_col))
+        .drop("_chunk")
+    )
+
+
 def _write_table(spark, plan: DataFrame, key: str, P: int, name: str) -> float:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     # a fresh derby metastore doesn't know a previous process's table,
@@ -154,6 +186,11 @@ def main():
         dt = _write_table(spark, plan, key, P, "csrprof_window")
         results["shj"] = dt
         print(f"[csr-prof] shj: {dt:.1f}s", flush=True)
+    if variant in ("hublist",):
+        plan = csr_adjacency_hublist(pairs, key, nbr, out_col, parts=P)
+        dt = _write_table(spark, plan, key, P, "csrprof_window")
+        results["hublist"] = dt
+        print(f"[csr-prof] hublist: {dt:.1f}s", flush=True)
 
     if os.environ.get("CHECK") == "1" and len(results) == 2:
         ha = _multiset_hash(spark, "csrprof_current", key, out_col)
