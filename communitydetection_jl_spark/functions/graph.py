@@ -126,37 +126,53 @@ def csr_adjacency(
     pure function of ``nbr`` and degree) — LPA's duplicate-arc
     certification depends on this.
 
-    Build plan: ONE exchange of ``pairs``. The degree enters as
-    ``count().over(Window.partitionBy(key))`` computed on the already
-    exchanged rows, and the chunk groupBy plus a downstream
-    bucket-by-``key`` write all ride the same hash(key) partitioning
-    with zero further exchange. The previous degree-agg + join form
-    scanned the source twice and moved the full data through a second
-    exchange (the caller-side repartition before the bucketed write);
-    A/B at the 163M-arc bench corpus: 73.5s → 39.5s end-to-end build
-    (multiset-identical output, scripts/profile_csr.py). Pass
-    ``parts`` to pin the exchange at the caller's bucket count so the
-    bucketed write gets one file per bucket without a repartition.
+    Build plan: ONE exchange of ``pairs`` plus a broadcast of the HUB
+    LIST only. Degree only matters ABOVE ``cap`` — every other key gets
+    nchunks=1 and chunk 0 (pmod(h, 1) = 0) — so the per-key count is
+    aggregated once, filtered to keys with deg > cap (a handful even on
+    a crawl graph) and broadcast back as a left join; non-hub rows see
+    a null degree and chunk 0. The chunk groupBy and a downstream
+    bucket-by-``key`` write ride the exchange's hash(key) partitioning
+    with no further exchange. Earlier forms, A/B'd at the 163M-arc
+    bench corpus (scripts/profile_csr.py, multiset-identical outputs):
+    full degree-agg + join 73.5s; window-degree
+    (count().over(Window.partitionBy(key))) 39.5s — but the window
+    SORTS all 2m exchanged rows just to learn degrees that are almost
+    all below cap, and that sort's super-linear cost dominates at
+    scale: fresh-process at 163M arcs window 29-34s vs hub-list
+    20-23s (at 27M arcs the window form is ~1.5s faster — the
+    crossover sits well below bench scale, so the hub-list form is the
+    shipped plan). Pass ``parts`` to pin the exchange at the caller's
+    bucket count so the bucketed write gets one file per bucket.
 
     ``cap`` defaults to ``$SPARK_GRAFT_CSR_CAP`` (65536): a 1e7-degree
-    hub becomes ~153 rows of ~0.5 MB each. A hub's rows still colocate
-    in one partition while being grouped (true of any per-key grouping,
-    including the old join form); the window buffers that one group via
-    UnsafeExternalSorter, which spills, so a 1e9-degree key degrades to
-    disk instead of OOM.
+    hub becomes ~153 rows of ~0.5 MB each. The broadcast hub list is
+    bounded by m/cap rows (163M arcs → ≤2.5k rows; real crawl graphs
+    sit far below the bound because degree tails are power-law);
+    deployments at 1e12+ arcs raise cap so the list stays small while
+    chunk rows stay O(cap)-sized. A hub's rows still colocate in one
+    partition while being grouped (true of any per-key grouping); the
+    collect_list aggregation falls back to sort-based under memory
+    pressure, so a 1e9-degree key degrades to disk instead of OOM.
     """
     import os
-
-    from pyspark.sql import Window
 
     if cap is None:
         cap = int(os.environ.get("SPARK_GRAFT_CSR_CAP", "65536"))
     src = pairs.repartition(parts, key) if parts else pairs
-    deg = F.count(F.lit(1)).over(Window.partitionBy(key))
-    nchunks = F.greatest(F.lit(1), F.ceil(deg / F.lit(cap))).cast("int")
+    hubs = (
+        src.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .filter(F.col("_deg") > cap)
+    )
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("_deg") / F.lit(cap))).cast("int")
+    chunk = F.when(
+        F.col("_deg").isNotNull(),
+        F.pmod(F.xxhash64(nbr), nchunks.cast("long")),
+    ).otherwise(F.lit(0))
     return (
-        src.withColumn("_chunk", F.pmod(F.xxhash64(nbr), nchunks.cast("long")))
-        .groupBy(key, "_chunk")
+        src.join(F.broadcast(hubs), key, "left")
+        .groupBy(key, chunk.alias("_chunk"))
         .agg(F.collect_list(payload if payload is not None else F.col(nbr)).alias(out_col))
         .drop("_chunk")
     )
