@@ -1496,6 +1496,117 @@ def q_infomap_det(spark, sf_dir):
     return memb.select("id", "comm")
 
 
+def q_louvain_all_det(spark, sf_dir):
+    """THE FULL MULTI-LEVEL DISTRIBUTED LOUVAIN COMPOSITION, hash-oracled
+    end to end: TWO `_distributed_level` passes under the deterministic
+    id-parity gate with the collapse and the projection in between —
+    exactly optimize_partition!'s level loop (ref src/Optimiser.jl:112-133:
+    move_nodes! → collapse_graph → recurse → from_coarser_partition!).
+    Level 0 runs 8 parity sweeps on the full part graph (move_floor=0,
+    gain_floor=None — the pure two-quiet-sweeps rule the louvain_det
+    oracle pins), the membership collapses the graph (intra-community
+    weight becomes a self-loop, canonical src<=dst, summed
+    integer-valued-double weights so both engines sum exactly), level 1
+    runs 8 more parity sweeps on the collapsed graph with the SAME
+    1/(2m) penalty (weight conservation keeps m identical), and the
+    coarse membership projects back through the level-0 one. The oracle
+    (_louvain_all_det_oracle) replays all of it as two chained recursive
+    CTEs + a collapse aggregation + a projection join. This is the det
+    twin of the production louvain() multi-level run (louvain_all,
+    rows-only in rounds 1-4): every structural piece of that run —
+    sweep scoring, argmax, parity gate, stop rule, collapse, k2
+    community totals on the coarse graph, projection — is now inside a
+    value-hashed row."""
+    from communitydetection_jl_spark.functions.graph import canonicalize_undirected
+    from communitydetection_jl_spark.operators.coarsen import (
+        collapse_graph,
+        from_coarser_partition,
+    )
+    from communitydetection_jl_spark.operators.louvain import _distributed_level
+
+    parity = F.pmod(F.col("id"), F.lit(2))
+    e = canonicalize_undirected(_part_edges(spark, sf_dir))
+    l0, _ = _distributed_level(
+        e, eps=1e-7, max_sweeps=8, move_floor=0.0, gain_floor=None,
+        parity_expr=parity,
+    )
+    coarse = collapse_graph(e, l0.select("id", "comm"))
+    l1, _ = _distributed_level(
+        coarse, eps=1e-7, max_sweeps=8, move_floor=0.0, gain_floor=None,
+        parity_expr=parity, level=1,
+    )
+    memb = from_coarser_partition(l0.select("id", "comm"),
+                                  l1.select("id", "comm"))
+    return memb.select("id", "comm")
+
+
+def q_infomap_all_det(spark, sf_dir):
+    """THE FULL MULTI-LEVEL DISTRIBUTED INFOMAP COMPOSITION, hash-oracled
+    end to end — the infomap() level loop (flow collapse semantics of
+    src/FlowPartition.jl:207-252: inter-community arcs only, p_c by
+    member sum, t_out recomputed from the collapsed arcs) run for two
+    `_distributed_level` passes under the id-parity gate with
+    score_round=5 decision quantization on both engines (drift analysis
+    on q_infomap_det: every t-space quantity on this unit-weight slice
+    is a near-exact multiple of 1/(2m); collapsed sums stay exact
+    multiples in exact arithmetic, so cross-engine ΔL drift ~1e-11 stays
+    five orders inside the 5e-6 half-quantum). Level 0: 6 sweeps on the
+    min2 part flow graph; collapse drops intra-community arcs and sums
+    t canonically; level 1: 6 more sweeps on the coarse flow graph;
+    projection joins coarse membership through fine. The oracle extends
+    _infomap_det_oracle with the collapse aggregation, coarse flows and
+    a second recursive sweep loop."""
+    from communitydetection_jl_spark.operators.coarsen import from_coarser_partition
+    from communitydetection_jl_spark.operators.infomap import _distributed_level
+
+    parity = F.pmod(F.col("id"), F.lit(2))
+    e = _part_edges_min2(spark, sf_dir)
+    m = float(e.agg(F.sum("weight")).collect()[0][0] or 0.0)
+    sym_w = e.select(F.col("src").alias("id"), "weight").unionByName(
+        e.select(F.col("dst").alias("id"), "weight"))
+    arcs = e.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", (F.col("weight") / (2 * m)).alias("t"))
+
+    def _flows_of(arc_df, p_df):
+        t_out = (
+            arc_df.select(F.col("src").alias("id"), "t")
+            .unionByName(arc_df.select(F.col("dst").alias("id"), "t"))
+            .groupBy("id").agg(F.sum("t").alias("t_out"))
+        )
+        return p_df.join(t_out, "id", "left").select(
+            "id", "p", F.coalesce("t_out", F.lit(0.0)).alias("t_out"))
+
+    p0 = sym_w.groupBy("id").agg((F.sum("weight") / (2 * m)).alias("p"))
+    flows = _flows_of(arcs, p0)
+    l0 = _distributed_level(
+        arcs, flows, eps=1e-6, max_sweeps=6, move_floor=0.0,
+        parity_expr=parity, score_round=5)
+    mm = l0.select("id", "comm")
+    # flow collapse: inter-community arcs only (infomap.py:391-423)
+    joined = (
+        arcs.join(mm.select(F.col("id").alias("src"),
+                            F.col("comm").alias("cs")), "src")
+        .join(mm.select(F.col("id").alias("dst"),
+                        F.col("comm").alias("cd")), "dst")
+        .filter(F.col("cs") != F.col("cd"))
+    )
+    arcs1 = (
+        joined.select(F.least("cs", "cd").alias("src"),
+                      F.greatest("cs", "cd").alias("dst"), "t")
+        .groupBy("src", "dst").agg(F.sum("t").alias("t"))
+    )
+    p1 = (
+        flows.select("id", "p").join(mm, "id")
+        .groupBy(F.col("comm").alias("id")).agg(F.sum("p").alias("p"))
+    )
+    flows1 = _flows_of(arcs1, p1)
+    l1 = _distributed_level(
+        arcs1, flows1, eps=1e-6, max_sweeps=6, move_floor=0.0,
+        parity_expr=parity, score_round=5, level=1)
+    memb = from_coarser_partition(mm, l1.select("id", "comm"))
+    return memb.select("id", "comm")
+
+
 def q_prob_metric(spark, sf_dir):
     """Random-walk retention metric per community (prob_metric_graph /
     prob_metric_cluster, ref src/metrics.jl:357-415) with the
@@ -1527,7 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slpa": q_slpa,
         "hlpa": q_hlpa,
         "infomap_locals": q_infomap_locals,
-        "infomap_all": q_infomap_all,
+        "infomap_all_det": q_infomap_all_det,
         "kclique": q_kclique,
         "kclique3_counts": q_kclique3_counts,
         "lang_prf": q_lang_prf,
@@ -1539,7 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap_det": q_infomap_det,
         "prob_metric": q_prob_metric,
         "louvain_locals": q_louvain_locals,
-        "louvain_all": q_louvain_all,
+        "louvain_all_det": q_louvain_all_det,
         # full iterative runs (recursive-CTE oracles)
         "lpa_full": q_lpa_full,
         "pagerank_full": q_pagerank_full,
@@ -1650,6 +1761,11 @@ def _queries_fine() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
         "events_props": q_events_props,
+        # full production multi-level runs (stochastic xxhash64 gate):
+        # rows-only here; the complete composition is hash-oracled by
+        # the registered det twins louvain_all_det / infomap_all_det
+        "louvain_all": q_louvain_all,
+        "infomap_all": q_infomap_all,
     }
 
 
@@ -4073,6 +4189,275 @@ def _infomap_det_oracle() -> str:
     """
 
 
+def _louvain_sweep_block(it: str, aug: str, seed: str, K: int) -> str:
+    """One parity-gated Louvain bulk-sweep recursion as a named
+    recursive-CTE block — the body of _louvain_det_oracle's `it`
+    parameterized by (recursion name, augmented-scan name, seed table,
+    sweep cap) so the multi-level oracle can instantiate it once per
+    level. The score expression, argmax struct, parity gate and
+    two-quiet-sweeps stop are byte-identical to the single-level oracle
+    (whose green row pins them); `pen` is shared across levels because
+    collapse conserves total weight exactly (integer-valued doubles)."""
+    return f"""
+        {it} AS (
+          SELECT 0 AS k, id, CAST(id AS BIGINT) AS c,
+                 CAST(1 AS BIGINT) AS moved, CAST(1 AS BIGINT) AS prevmoved
+          FROM {seed}
+          UNION ALL
+          SELECT k + 1 AS k, u AS id, new_c AS c,
+                 SUM(CASE WHEN new_c <> cu THEN 1 ELSE 0 END) OVER () AS moved,
+                 moved0 AS prevmoved
+          FROM (
+            SELECT u, k, moved0, cu,
+                   CASE WHEN best.s IS NOT NULL
+                         AND best.s - COALESCE(base, 0.0) > 1e-7
+                         AND u % 2 = k % 2
+                        THEN best.c ELSE cu END AS new_c
+            FROM (
+              SELECT *,
+                MAX(CASE WHEN cand = cu AND w_uc IS NOT NULL THEN score END)
+                  OVER (PARTITION BY u) AS base,
+                MAX(CASE WHEN cand <> cu AND w_uc IS NOT NULL
+                         THEN {{'s': score, 'nc': -cand, 'c': cand}} END)
+                  OVER (PARTITION BY u) AS best
+              FROM (
+                SELECT u, cand, k, moved0, w_uc, is_cur,
+                       w_uc - ((SELECT penalty FROM pen) * k2u) *
+                         (CASE WHEN cand = cu THEN tot - k2u ELSE tot END)
+                         AS score, cu
+                FROM (
+                  SELECT u, cand, k, moved0, w_uc, is_cur,
+                         SUM(k2_self) OVER (PARTITION BY cand) AS tot,
+                         MAX(CASE WHEN is_cur THEN cand END)
+                           OVER (PARTITION BY u) AS cu,
+                         MAX(k2_self) OVER (PARTITION BY u) AS k2u
+                  FROM (
+                    SELECT a.u AS u, it.c AS cand, MAX(it.k) AS k,
+                           MAX(it.moved) AS moved0,
+                           SUM(CASE WHEN NOT a.mark THEN a.w END) AS w_uc,
+                           BOOL_OR(a.mark) AS is_cur,
+                           MAX(CASE WHEN a.mark THEN a.k2 END) AS k2_self
+                    FROM {it} it JOIN {aug} a ON it.id = a.nid
+                    WHERE it.k < {K} AND NOT (it.moved = 0 AND it.prevmoved = 0)
+                    GROUP BY a.u, it.c
+                  ) g
+                ) win
+              ) sc
+            ) sc2
+            WHERE is_cur
+          ) pick
+        )"""
+
+
+def _louvain_all_det_oracle() -> str:
+    """The FULL two-level distributed Louvain composition
+    (q_louvain_all_det) replayed in SQL: level-0 parity sweeps (the
+    _louvain_det_oracle recursion verbatim via _louvain_sweep_block),
+    the collapse_graph contraction (operators/coarsen.py:28: canonical
+    LEAST/GREATEST community endpoints, summed weights — exact integer
+    sums so both engines agree bitwise), level-1 strengths recomputed
+    from the collapsed graph WITH self-loops counted twice (MGraph
+    semantics, operators/louvain.py:285), a second sweep recursion on
+    the self-loop-free collapsed symmetrized view, and the
+    from_coarser_partition projection join (coarsen.py:74). This is
+    optimize_partition!'s level loop (ref src/Optimiser.jl:112-133) as
+    one hash-checked artifact."""
+    return f"""
+        WITH RECURSIVE
+        e0 AS ({_PART_EDGES_SQL}),
+        e AS (SELECT src, dst, weight FROM e0 WHERE src <> dst),
+        sym AS (SELECT src, dst, weight FROM e
+                UNION ALL SELECT dst, src, weight FROM e),
+        vd AS (SELECT id, SUM(w) AS k2 FROM (
+                 SELECT src AS id, weight AS w FROM e0
+                 UNION ALL SELECT dst, weight FROM e0) GROUP BY 1),
+        pen AS (SELECT 1.0 / (2.0 * SUM(weight)) AS penalty FROM e0),
+        aug AS (SELECT src AS u, dst AS nid, weight AS w, FALSE AS mark,
+                       CAST(NULL AS DOUBLE) AS k2 FROM sym
+                UNION ALL SELECT id, id, NULL, TRUE, k2 FROM vd),
+        {_louvain_sweep_block("it0", "aug", "vd", 8)},
+        m0 AS (SELECT id, c FROM it0 WHERE k = (SELECT MAX(k) FROM it0)),
+        ce0 AS (SELECT LEAST(ma.c, mb.c) AS src,
+                       GREATEST(ma.c, mb.c) AS dst,
+                       SUM(x.weight) AS weight
+                FROM e0 x JOIN m0 ma ON x.src = ma.id
+                          JOIN m0 mb ON x.dst = mb.id
+                GROUP BY 1, 2),
+        e1 AS (SELECT src, dst, weight FROM ce0 WHERE src <> dst),
+        sym1 AS (SELECT src, dst, weight FROM e1
+                 UNION ALL SELECT dst, src, weight FROM e1),
+        vd1 AS (SELECT id, SUM(w) AS k2 FROM (
+                  SELECT src AS id, weight AS w FROM ce0
+                  UNION ALL SELECT dst, weight FROM ce0) GROUP BY 1),
+        aug1 AS (SELECT src AS u, dst AS nid, weight AS w, FALSE AS mark,
+                        CAST(NULL AS DOUBLE) AS k2 FROM sym1
+                 UNION ALL SELECT id, id, NULL, TRUE, k2 FROM vd1),
+        {_louvain_sweep_block("it1", "aug1", "vd1", 8)},
+        m1 AS (SELECT id, c FROM it1 WHERE k = (SELECT MAX(k) FROM it1))
+        SELECT m0.id, m1.c AS comm FROM m0 JOIN m1 ON m0.c = m1.id
+    """
+
+
+def _infomap_sweep_block(it: str, aug: str, seed: str, K: int) -> str:
+    """One parity-gated Infomap bulk-sweep recursion as a named
+    recursive-CTE block — _infomap_det_oracle's `it` parameterized by
+    (recursion name, augmented-scan name, seed flow table, sweep cap)
+    for the multi-level oracle. ΔL term order, ROUND(·,5) decision
+    quantization, struct-argmin tie-break, parity gate and stop rule
+    are byte-identical to the single-level oracle."""
+
+    def PL(x: str) -> str:
+        return f"(CASE WHEN ({x}) > 0 THEN ({x}) * LN({x}) ELSE 0.0 END)"
+
+    dl = (
+        f"{PL('sq2')} - {PL('sq')}"
+        f" - 2.0 * ({PL('q_cur2')} + {PL('q_new2')}"
+        f" - {PL('q_cur')} - {PL('q_cand')})"
+        f" + {PL('q_cur2 + p_cur - p_u')}"
+        f" + {PL('q_new2 + p_cand + p_u')}"
+        f" - {PL('q_cur + p_cur')}"
+        f" - {PL('q_cand + p_cand')}"
+    )
+    return f"""
+        {it} AS (
+          SELECT 0 AS k, id, CAST(id AS BIGINT) AS c,
+                 CAST(1 AS BIGINT) AS moved, CAST(1 AS BIGINT) AS prevmoved
+          FROM {seed}
+          UNION ALL
+          SELECT k + 1 AS k, u AS id, new_c AS c,
+                 SUM(CASE WHEN new_c <> cu THEN 1 ELSE 0 END) OVER () AS moved,
+                 moved0 AS prevmoved
+          FROM (
+            SELECT u, k, moved0, cu,
+                   CASE WHEN best.s IS NOT NULL
+                         AND best.s < -1e-6
+                         AND u % 2 = k % 2
+                        THEN best.c ELSE cu END AS new_c
+            FROM (
+              SELECT *,
+                MIN(CASE WHEN cand <> cu AND t_uc IS NOT NULL
+                         THEN {{'s': dlq, 'c': cand}} END)
+                  OVER (PARTITION BY u) AS best
+              FROM (
+                SELECT u, cand, k, moved0, cu, is_cur, t_uc,
+                       ROUND({dl}, 5) AS dlq
+                FROM (
+                  SELECT *,
+                         sq + (q_cur2 - q_cur) + (q_new2 - q_cand) AS sq2
+                  FROM (
+                    SELECT *,
+                           q_cur - tout_u + 2.0 * t_ucu AS q_cur2,
+                           q_cand + tout_u - 2.0 * t_uc AS q_new2
+                    FROM (
+                      SELECT *,
+                        MAX(CASE WHEN is_cur THEN q_cand END)
+                          OVER (PARTITION BY u) AS q_cur,
+                        MAX(CASE WHEN is_cur THEN p_cand END)
+                          OVER (PARTITION BY u) AS p_cur
+                      FROM (
+                        SELECT *,
+                          MAX(CASE WHEN is_cur THEN cand END)
+                            OVER (PARTITION BY u) AS cu,
+                          MAX(CASE WHEN is_cur THEN p_self END)
+                            OVER (PARTITION BY u) AS p_u,
+                          MAX(CASE WHEN is_cur THEN tout_self END)
+                            OVER (PARTITION BY u) AS tout_u,
+                          MAX(CASE WHEN is_cur THEN COALESCE(t_uc, 0.0) END)
+                            OVER (PARTITION BY u) AS t_ucu,
+                          SUM(CASE WHEN is_cur THEN p_self END)
+                            OVER (PARTITION BY cand) AS p_cand,
+                          SUM(CASE WHEN is_cur
+                                   THEN tout_self - COALESCE(t_uc, 0.0) END)
+                            OVER (PARTITION BY cand) AS q_cand,
+                          SUM(CASE WHEN is_cur
+                                   THEN tout_self - COALESCE(t_uc, 0.0) END)
+                            OVER () AS sq
+                        FROM (
+                          SELECT a.u AS u, it.c AS cand, MAX(it.k) AS k,
+                                 MAX(it.moved) AS moved0,
+                                 SUM(CASE WHEN NOT a.mark THEN a.t END) AS t_uc,
+                                 BOOL_OR(a.mark) AS is_cur,
+                                 MAX(CASE WHEN a.mark THEN a.p END) AS p_self,
+                                 MAX(CASE WHEN a.mark THEN a.t_out END)
+                                   AS tout_self
+                          FROM {it} it JOIN {aug} a ON it.id = a.nid
+                          WHERE it.k < {K}
+                            AND NOT (it.moved = 0 AND it.prevmoved = 0)
+                          GROUP BY a.u, it.c
+                        ) g
+                      ) win1
+                    ) win2
+                  ) calc1
+                ) calc2
+              ) sc
+            ) sc2
+            WHERE is_cur
+          ) pick
+        )"""
+
+
+def _infomap_all_det_oracle() -> str:
+    """The FULL two-level distributed Infomap composition
+    (q_infomap_all_det) in SQL: level-0 parity sweeps (the
+    _infomap_det_oracle recursion verbatim via _infomap_sweep_block),
+    the FLOW collapse (operators/infomap.py:391-423 / ref
+    src/FlowPartition.jl:207-252: INTER-community arcs only with
+    canonically-summed t, p_c as member-p sums, t_out recomputed from
+    the collapsed arcs), a second sweep recursion on the coarse flow
+    graph, and the projection join. Decision quantization (ROUND(·,5)
+    on both engines) absorbs the last-ulp drift of the collapsed
+    t/p sums exactly as analyzed on q_infomap_det — collapsed values
+    remain exact multiples of 1/(2m) in exact arithmetic, keeping
+    every score ~5 orders of magnitude away from a quantization
+    boundary."""
+    return f"""
+        WITH RECURSIVE
+        e AS ({_PART_EDGES_MIN2_SQL}),
+        mt AS (SELECT 2.0 * SUM(weight) AS m2 FROM e),
+        arcs AS (SELECT src, dst, weight / (SELECT m2 FROM mt) AS t
+                 FROM e WHERE src <> dst),
+        deg AS (SELECT id, SUM(w) / (SELECT m2 FROM mt) AS p FROM (
+                  SELECT src AS id, weight AS w FROM e
+                  UNION ALL SELECT dst, weight FROM e) GROUP BY 1),
+        tout AS (SELECT id, SUM(t) AS t_out FROM (
+                   SELECT src AS id, t FROM arcs
+                   UNION ALL SELECT dst, t FROM arcs) GROUP BY 1),
+        flows AS (SELECT d.id, d.p, COALESCE(tt.t_out, 0.0) AS t_out
+                  FROM deg d LEFT JOIN tout tt ON d.id = tt.id),
+        aug AS (SELECT src AS u, dst AS nid, t, FALSE AS mark,
+                       CAST(NULL AS DOUBLE) AS p,
+                       CAST(NULL AS DOUBLE) AS t_out
+                FROM arcs
+                UNION ALL SELECT dst, src, t, FALSE, NULL, NULL FROM arcs
+                UNION ALL SELECT id, id, NULL, TRUE, p, t_out FROM flows),
+        {_infomap_sweep_block("it0", "aug", "flows", 6)},
+        mm0 AS (SELECT id, c FROM it0 WHERE k = (SELECT MAX(k) FROM it0)),
+        arcs1 AS (SELECT LEAST(ma.c, mb.c) AS src,
+                         GREATEST(ma.c, mb.c) AS dst,
+                         SUM(x.t) AS t
+                  FROM arcs x JOIN mm0 ma ON x.src = ma.id
+                              JOIN mm0 mb ON x.dst = mb.id
+                  WHERE ma.c <> mb.c
+                  GROUP BY 1, 2),
+        p1 AS (SELECT mm0.c AS id, SUM(f.p) AS p
+               FROM flows f JOIN mm0 ON f.id = mm0.id GROUP BY 1),
+        tout1 AS (SELECT id, SUM(t) AS t_out FROM (
+                    SELECT src AS id, t FROM arcs1
+                    UNION ALL SELECT dst, t FROM arcs1) GROUP BY 1),
+        flows1 AS (SELECT p1.id, p1.p, COALESCE(tt.t_out, 0.0) AS t_out
+                   FROM p1 LEFT JOIN tout1 tt ON p1.id = tt.id),
+        aug1 AS (SELECT src AS u, dst AS nid, t, FALSE AS mark,
+                        CAST(NULL AS DOUBLE) AS p,
+                        CAST(NULL AS DOUBLE) AS t_out
+                 FROM arcs1
+                 UNION ALL SELECT dst, src, t, FALSE, NULL, NULL FROM arcs1
+                 UNION ALL SELECT id, id, NULL, TRUE, p, t_out FROM flows1),
+        {_infomap_sweep_block("it1", "aug1", "flows1", 6)},
+        mm1 AS (SELECT id, c FROM it1 WHERE k = (SELECT MAX(k) FROM it1))
+        SELECT mm0.id, mm1.c AS comm FROM mm0 JOIN mm1 ON mm0.c = mm1.id
+    """
+
+
 def _prob_metric_oracle() -> str:
     """4 steps of the community-restricted walk retention iteration
     p_k(v) = (1/deg v)·Σ_(w∈N(v)∩C) p_(k−1)(w) over the brand
@@ -4238,8 +4623,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["louvain_det"] = _louvain_det_oracle()
     out["infomap_det"] = _infomap_det_oracle()
+    out["louvain_all_det"] = _louvain_all_det_oracle()
+    out["infomap_all_det"] = _infomap_all_det_oracle()
     out["prob_metric"] = _prob_metric_oracle()
-    # louvain_all / infomap_all stay rows-only (their multi-level
-    # collapse recursion has data-dependent depth; the sweep paths
-    # they are built from are hash-oracled by louvain_det/infomap_det)
     return out

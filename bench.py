@@ -46,6 +46,7 @@ def main() -> None:
     outlinks = float(os.environ.get("BENCH_OUTLINKS", "16"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    t_start = time.time()
     spark = get_spark("linkgraph-bench", cores=cpus, shuffle_partitions=cpus)
     # graph-build plans sit on checkpointed/unioned leaves whose size
     # estimates are unreliable; never let Catalyst auto-broadcast a
@@ -69,15 +70,35 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
+    # Self-certifying record: every suite query runs BENCH_REPEATS times
+    # (default 2 — min-of-2 with the first run as warm-up). The headline
+    # per-query number is the MIN across runs (the achievable time absent
+    # box-level noise — the round-4 record attributed ±30% deltas to host
+    # jitter that a single-run JSON could not distinguish from real
+    # regressions); all raw runs + the median ride in extras so a delta
+    # is readable from this file alone. BENCH_REPEATS=1 restores
+    # single-run mode (scaling legs use it: their metric is the
+    # superstep-level median, already a within-run repeat).
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+    extras["bench_repeats"] = repeats
+    run_log: dict[str, list] = {}
+    extras["query_runs"] = run_log
 
     def timed(name, fn):
-        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        t0 = time.time()
-        out = fn()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        print(f"[bench] {name}: {dt:.1f}s", file=sys.stderr, flush=True)
-        return out
+        best = None
+        best_dt = None
+        for r in range(repeats):
+            print(f"[bench] {name} (run {r + 1}/{repeats}) ...",
+                  file=sys.stderr, flush=True)
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            run_log.setdefault(name, []).append(round(dt, 3))
+            print(f"[bench] {name}: {dt:.1f}s", file=sys.stderr, flush=True)
+            if best_dt is None or dt < best_dt:
+                best, best_dt = out, dt
+        queries[name] = round(best_dt, 3)
+        return best
 
     # ---- headline: web link graph -------------------------------------
     replicas = int(os.environ.get("BENCH_REPLICAS", "128"))
@@ -137,7 +158,10 @@ def main() -> None:
 
     def _median(xs):
         xs = sorted(xs)
-        return xs[len(xs) // 2] if xs else float("nan")
+        if not xs:
+            return float("nan")
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2.0
 
     web_edges, web_m = timed("web_extract_edges", build_web_graph)
     extras["web_edges"] = web_m
@@ -202,13 +226,20 @@ def main() -> None:
         timed("web_components", lambda: connected_components(
             web_edges, mode=bench_mode).count())
 
-    if os.environ.get("BENCH_ONLY") == "web":
+    def _emit():
+        extras["queries_median"] = {
+            k: round(_median(v), 3) for k, v in run_log.items()
+        }
+        extras["wall_seconds"] = round(time.time() - t_start, 3)
         total = round(sum(queries.values()), 3)
         print(json.dumps({
             "metric": "bench_suite_seconds", "value": total, "unit": "sec",
             "queries": queries, "sf": sf, "cpus": cpus, "extras": extras,
         }))
         _register_warehouse_residue()
+
+    if os.environ.get("BENCH_ONLY") == "web":
+        _emit()
         return
 
     # ---- operator suite over driver testdata ---------------------------
@@ -236,17 +267,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("docs_minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.7).count())
 
-    total = round(sum(queries.values()), 3)
-    print(json.dumps({
-        "metric": "bench_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": queries,
-        "sf": sf,
-        "cpus": cpus,
-        "extras": extras,
-    }))
-    _register_warehouse_residue()
+    _emit()
 
 
 def _register_warehouse_residue() -> None:

@@ -160,14 +160,19 @@ def csr_adjacency(
     if cap is None:
         cap = int(os.environ.get("SPARK_GRAFT_CSR_CAP", "65536"))
     src = pairs.repartition(parts, key) if parts else pairs
+    # collision-resistant internal name (like `_chunk`): a caller whose
+    # `pairs` already carries a `_deg` column must not collide with the
+    # broadcast hub frame's degree at the left join below
+    if "__csr_deg" in src.columns:
+        src = src.drop("__csr_deg")
     hubs = (
         src.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("_deg"))
-        .filter(F.col("_deg") > cap)
+        .agg(F.count(F.lit(1)).alias("__csr_deg"))
+        .filter(F.col("__csr_deg") > cap)
     )
-    nchunks = F.greatest(F.lit(1), F.ceil(F.col("_deg") / F.lit(cap))).cast("int")
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("__csr_deg") / F.lit(cap))).cast("int")
     chunk = F.when(
-        F.col("_deg").isNotNull(),
+        F.col("__csr_deg").isNotNull(),
         F.pmod(F.xxhash64(nbr), nchunks.cast("long")),
     ).otherwise(F.lit(0))
     return (

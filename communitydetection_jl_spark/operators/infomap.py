@@ -298,6 +298,9 @@ def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
             else:
                 low_streak = 0
     flows.unpersist()
+    # sym is materialize_iter'd (cached) once per level — unpersist with
+    # flows or the hierarchy accumulates one 2m-row cached view per level
+    sym.unpersist()
     loop.cleanup(keep_final=True)
     return memb.select("id", "comm")
 

@@ -629,10 +629,11 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
             w.bucketBy(parts, "dst").mode("overwrite").saveAsTable(sym_table)
             sym = spark.table(sym_table)
         else:
-            # dir mode: parquet round-trip (the engine's state
-            # discipline — no block-manager churn, real file stats);
-            # the partitioning hint is lost on read but the per-sweep
-            # union+weight recompute is still gone
+            # dir mode: localCheckpointed + cached once per level (the
+            # view is block-manager-resident, not file-backed; real
+            # materialized size stats via materialize_iter); the
+            # partitioning hint survives the checkpoint and the
+            # per-sweep union+weight recompute is gone
             sym = materialize_iter(sym_plan.repartition(parts, "dst"))
         selfw = None
         if setbased:
@@ -685,6 +686,11 @@ def _distributed_level(edges: DataFrame, eps: float, max_sweeps: int,
     aux.unpersist()
     if sym_table is not None:
         loop._drop_table(sym_table)
+    else:
+        # dir mode: the materialize_iter'd sym view is cached — drop it
+        # with the level's other side frames or multi-level runs pile up
+        # max_levels 2m-row cached datasets in the block manager
+        sym.unpersist()
     if selfw is not None:
         selfw.unpersist()
     loop.cleanup(keep_final=True)

@@ -281,9 +281,13 @@ def label_propagation(
     consolidate, so the switch is gated on the OBSERVED mover-degree
     bound (the same fbound metric that gates the frontier broadcast):
     engage when Σ(deg+1 of movers) + wants ≤ ``delta_msgs_frac``·2m.
-    Movers are broadcast to the bucketed CSR table (zero exchange);
-    a later burst above ``delta_bcast_max`` movers drops back to the
-    full gather (counts rebuilt if the gate re-engages). A map-typed
+    Movers up to ``delta_bcast_max`` are broadcast to the bucketed CSR
+    table (zero exchange); ABOVE the cap they instead take one bucketed
+    hash(dst, P) shuffle join — the 100×-scale path, where a graph can
+    sustain multi-million-mover supersteps for which O(changed_edges)
+    still beats O(2m) — and the path only drops back to the full gather
+    on a genuine COST regression (Σ(deg+1) of movers > the engage
+    fraction of 2m; counts rebuilt if the gate re-engages). A map-typed
     per-vertex counts column is deliberately NOT used: at engage time a
     1e7-in-degree web hub would hold a 1e7-entry map in one row — the
     unbounded-row failure the CSR chunk cap exists to prevent."""
@@ -446,10 +450,20 @@ def label_propagation(
             parity = it % 2 if semi_sync else None
             it += 1
 
-            if counts is not None and changed_cnt > delta_bcast_max:
-                # mover burst: the broadcast delta join would no longer
-                # be safe — fall back to the full gather (the gate below
-                # rebuilds the counts table if it re-engages)
+            if counts is not None and total_msgs and \
+                    frontier_bound is not None and \
+                    frontier_bound > delta_msgs_frac * total_msgs:
+                # COST regression, not a mechanism limit: Σdeg(movers)
+                # grew past the fraction of 2m where the incremental
+                # update is cheaper than one full gather — drop back to
+                # the full gather (the gate below rebuilds the counts
+                # table if it re-engages). A large mover count ALONE no
+                # longer aborts the path: above ``delta_bcast_max`` the
+                # movers side switches from a broadcast to a bucketed
+                # shuffle join (below), so multi-million-mover
+                # supersteps — the sustained regime of a 100× graph —
+                # stay incremental as long as O(changed_edges) beats
+                # O(2m).
                 counts = None
 
             if counts is not None:
@@ -468,8 +482,20 @@ def label_propagation(
                         F.col("prev").alias("old_lbl"),
                         F.col("lbl").alias("new_lbl"),
                     )
+                    if changed_cnt <= delta_bcast_max:
+                        # small mover set: zero-exchange broadcast join
+                        mside = F.broadcast(movers)
+                    else:
+                        # burst supersteps: ship the movers through one
+                        # hash(dst, P) exchange instead of a driver
+                        # broadcast; the CSR side is bucketed on dst so
+                        # only the (much smaller) movers side moves, and
+                        # a shuffle-hash hint keeps Spark from sorting
+                        # the bucketed CSR for a merge join
+                        mside = movers.repartition(P, "dst") \
+                            .hint("shuffle_hash")
                     upd = (
-                        sym.join(F.broadcast(movers), "dst")
+                        sym.join(mside, "dst")
                         .select(
                             F.explode("srcs").alias("id"),
                             "old_lbl", "new_lbl",
@@ -808,11 +834,7 @@ def label_propagation(
             elif changed_cnt == 0 and wants_cnt == 0:
                 break
             prev_changed_cnt = changed_cnt
-            if (
-                delta_ok
-                and counts is None
-                and changed_cnt <= delta_bcast_max
-            ):
+            if delta_ok and counts is None:
                 if total_msgs is None:
                     total_msgs = int(
                         state.agg(F.sum("deg")).collect()[0][0] or 0)

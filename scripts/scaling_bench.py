@@ -47,6 +47,7 @@ def run_bench(cpus: int, sf_dir: str, n_pages: int) -> dict:
     env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")  # RAM shuffle
     env.setdefault("SPARK_GRAFT_WAREHOUSE", "/dev/shm/spark-warehouse")
     env.setdefault("SPARK_GRAFT_STATE_DIR", "/dev/shm")
+    env.setdefault("BENCH_REPEATS", "1")  # leg metric = superstep median
     env.setdefault("BENCH_PR_MAX_ITER", "12")   # steady-state median needs
     env.setdefault("BENCH_LPA_MAX_ITER", "12")  # ~10 supersteps
     # same task granularity + bucket count on BOTH legs: finer tasks

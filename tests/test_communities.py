@@ -342,6 +342,28 @@ def test_lpa_delta_counts_exact(spark):
         assert a == b, name
 
 
+def test_lpa_delta_shuffle_join_exact(spark):
+    """The above-broadcast-cap delta path (movers shipped through a
+    bucketed hash(dst, P) shuffle join instead of a driver broadcast)
+    is the SAME counts-table semantics: with delta_bcast_max=0 every
+    incremental superstep is forced through the shuffle join, and the
+    run must still match the full re-aggregation mover-for-mover and
+    label-for-label. This is the 100×-scale regime (sustained
+    multi-million-mover supersteps) exercised at test scale."""
+    for fixture, name in ((fx.ring_of_cliques, "rc"), (fx.gn, "gn")):
+        edges, _ = fixture(spark)
+        full = lpa(edges, max_iter=30, mode="tables", delta=False,
+                   state_name=f"lpa_nds_{name}")
+        dl = lpa(edges, max_iter=30, mode="tables", delta=True,
+                 delta_msgs_frac=3.0, delta_bcast_max=0,
+                 state_name=f"lpa_dls_{name}")
+        assert dl.delta_from is not None and dl.delta_from <= 3, name
+        assert full.changed_history == dl.changed_history, name
+        a = {(r.id, r.comm) for r in full.labels.collect()}
+        b = {(r.id, r.comm) for r in dl.labels.collect()}
+        assert a == b, name
+
+
 def test_lpa_strategy_invariance(spark):
     """Execution strategy must never change the answer: the semi-sync
     active-parity listener filter, the two-superstep (changed|prevch)
