@@ -1625,11 +1625,69 @@ def q_prob_metric(spark, sf_dir):
     return _r6(out, "mean_p", "std_p", "var_p")
 
 
+def q_extra_metrics(spark, sf_dir):
+    """The last four previously pytest-only operators as one tagged
+    (part, k1, value) panel:
+
+    - ``qds``: modularity density Qds of the brand partition on the
+      part graph (operators/objectives.py:257; ref
+      src/modularity_density.jl:1-43) — one scalar row;
+    - ``min_cond``: minimum conductance per community-size bucket
+      (operators/community_metrics.py:98; ref src/metrics.jl:53-90),
+      (ns, min) rows on the brand partition;
+    - ``hlpa_q``: the hlpa per-level modularity ledger
+      (hlpa(record_quality=True), operators/multilevel.py:35; ref
+      hlpa_record_Q src/hlpa.jl:202-257) on the q_hlpa oracle-mode
+      config — (level, Q) rows, levels replayed with the same
+      early-stop rule;
+    - ``nsdlpa``: neighbor-strength-driven LPA labels (votes 1+cn,
+      operators/lpa.py nsdlpa; ref src/label_propagation.jl:77-96)
+      under the id-parity gate on the partkey<=60 slice — (id, comm)
+      rows. Votes 1+cn are integer-valued doubles, so every vote sum
+      is exact in both engines and the weighted recursive-CTE replay
+      (the _hlpa_oracle machinery) is drift-free."""
+    from communitydetection_jl_spark.operators.community_metrics import (
+        min_conductance,
+    )
+    from communitydetection_jl_spark.operators.lpa import nsdlpa
+    from communitydetection_jl_spark.operators.multilevel import hlpa
+    from communitydetection_jl_spark.operators.objectives import (
+        modularity_density,
+    )
+
+    e = _part_edges(spark, sf_dir)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    memb = p.select(F.col("p_partkey").alias("id"),
+                    F.col("p_brand").alias("comm"))
+    qds = modularity_density(e, memb)
+    a = spark.createDataFrame([(float(qds),)], "v double").select(
+        F.lit("qds").alias("part"), F.lit(0).cast("long").alias("k1"),
+        F.round(F.col("v"), 6).alias("value"))
+    b = min_conductance(e, memb).select(
+        F.lit("min_cond").alias("part"), F.col("ns").cast("long").alias("k1"),
+        F.round("min_conductance", 6).alias("value"))
+    hl = hlpa(_part_edges_min2(spark, sf_dir), use_similarity=False,
+              max_levels=4, parity_expr=F.pmod(F.col("id"), F.lit(2)),
+              record_quality=True)
+    c = spark.createDataFrame(
+        [(int(h["level"]), float(h["Q"])) for h in hl.history],
+        "k1 long, v double",
+    ).select(F.lit("hlpa_q").alias("part"), "k1",
+             F.round(F.col("v"), 6).alias("value"))
+    d = nsdlpa(
+        _part_edges_cap(spark, sf_dir),
+        parity_expr=F.pmod(F.col("id"), F.lit(2)),
+    ).labels.select(
+        F.lit("nsdlpa").alias("part"), F.col("id").cast("long").alias("k1"),
+        F.col("comm").cast("double").alias("value"))
+    return _union_parts([a, b, c, d])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries — kept UNDER the driver's ~50-row
-    sweep budget (43 entries) while covering every fine-grained
-    operator via the tagged merges above. Ordered with the merged /
-    newest families first."""
+    sweep budget (45 entries, every one oracled) while covering every
+    fine-grained operator via the tagged merges above. Ordered with the
+    merged / newest families first."""
     return {
         # merged families + new rows first
         "media_all": q_media_all,
@@ -1651,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prob_metric": q_prob_metric,
         "louvain_locals": q_louvain_locals,
         "louvain_all_det": q_louvain_all_det,
+        "extra_metrics": q_extra_metrics,
         # full iterative runs (recursive-CTE oracles)
         "lpa_full": q_lpa_full,
         "pagerank_full": q_pagerank_full,
@@ -3262,19 +3321,12 @@ def _lpa_shard_oracle() -> str:
     """
 
 
-def _hlpa_oracle() -> str:
-    """q_hlpa (oracle mode) unrolled: 4 levels of weighted semi-sync
-    sticky LPA as recursive CTEs (the _lpa_full_oracle machinery with
-    SUM(weight) votes and real self-loop vote rows), collapse
-    (least/greatest + weight sum) and membership composition between
-    levels, then the engine's early-stop rule replayed as a CASE over
-    the per-level (n, q) counts — later levels are computed but unused
-    when the engine would have stopped, which is sound because every
-    level is a pure function of the data. Float story: unit first-level
-    votes and count-carrying collapsed weights keep every vote sum an
-    integer-valued double — exact under any summation order in both
-    engines. Ends with the same first-seen permute as _lpa_full_oracle
-    (ref src/hlpa.jl:65-142)."""
+def _hlpa_cte_prefix() -> str:
+    """The _hlpa_oracle WITH-body through the composed memberships and
+    the early-stop selector: 4 unrolled weighted LPA levels (sym/v/aug/
+    it/lvl/st/e+1 per level), m0..m3 composed memberships, and sdef
+    (the final level the engine would use). Shared by _hlpa_oracle
+    (final membership) and _extra_metrics_oracle (per-level Q ledger)."""
     blocks = []
     for lv in range(4):
         blocks.append(f"""
@@ -3326,7 +3378,6 @@ def _hlpa_oracle() -> str:
           GROUP BY 1, 2)""")
     levels_sql = ",".join(blocks)
     return f"""
-        WITH RECURSIVE
         e0 AS MATERIALIZED (
                SELECT src, dst, CAST(weight AS DOUBLE) AS w
                FROM ({_PART_EDGES_MIN2_SQL})),
@@ -3347,7 +3398,25 @@ def _hlpa_oracle() -> str:
           WHEN (SELECT q FROM st2) >= (SELECT q FROM st1)
                OR (SELECT q FROM st2) = (SELECT n FROM st2)
                OR (SELECT q FROM st2) <= 1 THEN 2
-          ELSE 3 END AS s),
+          ELSE 3 END AS s)"""
+
+
+def _hlpa_oracle() -> str:
+    """q_hlpa (oracle mode) unrolled: 4 levels of weighted semi-sync
+    sticky LPA as recursive CTEs (the _lpa_full_oracle machinery with
+    SUM(weight) votes and real self-loop vote rows), collapse
+    (least/greatest + weight sum) and membership composition between
+    levels, then the engine's early-stop rule replayed as a CASE over
+    the per-level (n, q) counts — later levels are computed but unused
+    when the engine would have stopped, which is sound because every
+    level is a pure function of the data. Float story: unit first-level
+    votes and count-carrying collapsed weights keep every vote sum an
+    integer-valued double — exact under any summation order in both
+    engines. Ends with the same first-seen permute as _lpa_full_oracle
+    (ref src/hlpa.jl:65-142)."""
+    return f"""
+        WITH RECURSIVE
+        {_hlpa_cte_prefix()},
         fin AS MATERIALIZED (
           SELECT id, lbl FROM m0 WHERE (SELECT s FROM sdef) = 0
           UNION ALL SELECT id, lbl FROM m1 WHERE (SELECT s FROM sdef) = 1
@@ -3358,6 +3427,140 @@ def _hlpa_oracle() -> str:
                     FROM firsts)
         SELECT fin.id, CAST(mapping.comm AS BIGINT) AS comm
         FROM fin JOIN mapping USING (lbl)
+    """
+
+
+def _extra_metrics_oracle() -> str:
+    """q_extra_metrics as one tagged UNION ALL:
+
+    - qds / min_cond: closed-form aggregations over the brand
+      partition's per-community (ns, ms, cs) table on the part graph
+      (the ns_ms_cs oracle SQL), replicating the engine's expression
+      shapes term for term (Qds base − pairwise split penalty;
+      per-size-bucket min conductance);
+    - hlpa_q: the per-level modularity ledger over the SAME unrolled
+      hlpa machinery as _hlpa_oracle (shared _hlpa_cte_prefix) — one
+      modularity aggregation per composed membership m0..m3, emitted
+      only for levels the engine actually ran (sdef >= level);
+    - nsdlpa: votes 1+cn (common neighbors via the symmetrized
+      wedge join) fed into the same weighted parity-gated recursive
+      LPA block as the hlpa levels, then the first-seen permute.
+      All vote sums are integer-valued doubles — exact both engines."""
+    qblocks = []
+    qrows = []
+    for lv in range(4):
+        qblocks.append(f"""
+        qj{lv} AS (SELECT ma.lbl AS cs, mb.lbl AS cd, e.w
+                   FROM e0 e JOIN m{lv} ma ON e.src = ma.id
+                             JOIN m{lv} mb ON e.dst = mb.id),
+        qec{lv} AS (SELECT cs AS c, SUM(2 * w) AS e_c
+                    FROM qj{lv} WHERE cs = cd GROUP BY 1),
+        qac{lv} AS (SELECT c, SUM(w) AS a_c FROM
+                      (SELECT cs AS c, w FROM qj{lv}
+                       UNION ALL SELECT cd, w FROM qj{lv}) GROUP BY 1),
+        qv{lv} AS (SELECT ROUND(SUM(COALESCE(qec{lv}.e_c, 0.0) / (2 * qm.m)
+                        - (qac{lv}.a_c / (2 * qm.m)) * (qac{lv}.a_c / (2 * qm.m))),
+                        6) AS q
+                   FROM qac{lv} LEFT JOIN qec{lv} ON qac{lv}.c = qec{lv}.c, qm)""")
+        qrows.append(f"""
+        SELECT 'hlpa_q' AS part, CAST({lv} AS BIGINT) AS k1,
+               (SELECT q FROM qv{lv}) AS value
+        FROM (SELECT 1) one WHERE (SELECT s FROM sdef) >= {lv}""")
+    return f"""
+        WITH RECURSIVE
+        {_hlpa_cte_prefix()},
+        qm AS (SELECT SUM(w) AS m FROM e0),
+        {",".join(qblocks)},
+        pe AS ({_PART_EDGES_SQL}),
+        bm AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+        bj AS (SELECT ma.comm AS cs, mb.comm AS cd
+               FROM pe JOIN bm ma ON pe.src = ma.id
+                       JOIN bm mb ON pe.dst = mb.id),
+        bms AS (SELECT cs AS comm, COUNT(*) AS ms FROM bj WHERE cs = cd GROUP BY 1),
+        bcs AS (SELECT comm, COUNT(*) AS cs FROM
+                  (SELECT cs AS comm FROM bj WHERE cs <> cd
+                   UNION ALL SELECT cd AS comm FROM bj WHERE cs <> cd)
+                GROUP BY 1),
+        bns AS (SELECT comm, COUNT(*) AS ns FROM bm GROUP BY 1),
+        bk AS (SELECT bns.comm, bns.ns,
+                      COALESCE(bms.ms, 0) AS ms, COALESCE(bcs.cs, 0) AS cs
+               FROM bns LEFT JOIN bms ON bns.comm = bms.comm
+                        LEFT JOIN bcs ON bns.comm = bcs.comm),
+        pmm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pe),
+        qds_base AS (
+          SELECT SUM((ms / pmm.m) * dc
+                     - ((2 * ms + cs) / (2.0 * pmm.m))
+                       * ((2 * ms + cs) / (2.0 * pmm.m)) * dc * dc) AS v
+          FROM (SELECT ms, cs,
+                       CASE WHEN ns > 1
+                            THEN 2.0 * ms / (CAST(ns AS DOUBLE) * (ns - 1))
+                            ELSE 0.0 END AS dc
+                FROM bk) b, pmm),
+        bpair AS (SELECT LEAST(cs, cd) AS ca, GREATEST(cs, cd) AS cb,
+                         COUNT(*) AS mcc
+                  FROM bj WHERE cs <> cd GROUP BY 1, 2),
+        qds_pen AS (
+          SELECT SUM(2.0 * (bpair.mcc / (2.0 * pmm.m))
+                     * (bpair.mcc / (CAST(na.ns AS DOUBLE) * nb.ns))) AS v
+          FROM bpair JOIN bns na ON bpair.ca = na.comm
+                     JOIN bns nb ON bpair.cb = nb.comm, pmm),
+        ec AS ({_PART_EDGES_CAP_SQL}),
+        symp AS (SELECT src, dst FROM ec UNION ALL SELECT dst, src FROM ec),
+        ncn AS (SELECT e.src, e.dst, COUNT(*) AS c
+                FROM ec e JOIN symp s1 ON s1.src = e.src
+                          JOIN symp s2 ON s2.src = e.dst AND s2.dst = s1.dst
+                GROUP BY e.src, e.dst),
+        new_ AS (SELECT e.src, e.dst, 1.0 + COALESCE(ncn.c, 0) AS w
+                 FROM ec e LEFT JOIN ncn
+                   ON e.src = ncn.src AND e.dst = ncn.dst),
+        nsym AS (SELECT src, dst, w FROM new_
+                 UNION ALL SELECT dst, src, w FROM new_),
+        nv AS (SELECT DISTINCT id FROM
+                 (SELECT src AS id FROM nsym UNION ALL SELECT dst FROM nsym)),
+        naug AS (SELECT src, dst, w, FALSE AS mark FROM nsym
+                 UNION ALL SELECT id, id, 0.0, TRUE FROM nv),
+        nit AS (
+          SELECT 0 AS k, id, id AS lbl,
+                 1::BIGINT AS moved, 0::BIGINT AS wants
+          FROM nv
+          UNION ALL
+          SELECT k, id, new_lbl AS lbl,
+                 SUM(CASE WHEN new_lbl <> cur_lbl THEN 1 ELSE 0 END) OVER () AS moved,
+                 SUM(CASE WHEN want_lbl <> cur_lbl THEN 1 ELSE 0 END) OVER () AS wants
+          FROM (
+            SELECT id, k + 1 AS k,
+                   CASE WHEN id % 2 = k % 2 THEN lbl ELSE cur_lbl END AS new_lbl,
+                   lbl AS want_lbl, cur_lbl
+            FROM (
+              SELECT id, lbl, k, c, cur,
+                     MAX(CASE WHEN cur THEN lbl END) OVER (PARTITION BY id) AS cur_lbl,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY c DESC, cur DESC, lbl ASC) AS rn
+              FROM (
+                SELECT a.src AS id, nit.lbl, MAX(nit.k) AS k,
+                       COALESCE(SUM(CASE WHEN NOT a.mark THEN a.w END), 0.0) AS c,
+                       BOOL_OR(a.mark) AS cur
+                FROM nit JOIN naug a ON nit.id = a.dst
+                WHERE (nit.moved > 0 OR nit.wants > 0) AND nit.k < 200
+                GROUP BY a.src, nit.lbl) cnt) pick
+            WHERE rn = 1) mv
+        ),
+        nfin AS (SELECT id, lbl FROM nit WHERE k = (SELECT MAX(k) FROM nit)),
+        nfirsts AS (SELECT lbl, MIN(id) AS fid FROM nfin GROUP BY 1),
+        nmap AS (SELECT lbl, ROW_NUMBER() OVER (ORDER BY fid) AS comm
+                 FROM nfirsts)
+        SELECT 'qds' AS part, CAST(0 AS BIGINT) AS k1,
+               ROUND(COALESCE((SELECT v FROM qds_base), 0.0)
+                     - COALESCE((SELECT v FROM qds_pen), 0.0), 6) AS value
+        UNION ALL
+        SELECT 'min_cond', ns,
+               ROUND(MIN(CASE WHEN 2 * ms + cs <> 0
+                              THEN CAST(cs AS DOUBLE) / (2 * ms + cs) END), 6)
+        FROM bk GROUP BY ns
+        UNION ALL
+        SELECT 'nsdlpa', nfin.id, CAST(nmap.comm AS DOUBLE)
+        FROM nfin JOIN nmap USING (lbl)
+        {"".join("UNION ALL" + r for r in qrows)}
     """
 
 
@@ -4625,5 +4828,6 @@ def oracle_sql() -> dict[str, str]:
     out["infomap_det"] = _infomap_det_oracle()
     out["louvain_all_det"] = _louvain_all_det_oracle()
     out["infomap_all_det"] = _infomap_all_det_oracle()
+    out["extra_metrics"] = _extra_metrics_oracle()
     out["prob_metric"] = _prob_metric_oracle()
     return out

@@ -204,9 +204,28 @@ def expected_mutual_info_distributed(
     hypergeometric pmf is evaluated per term directly from
     _log_fact_expr — all inside whole-stage codegen, no Python.
 
-    ``marg_a``/``marg_b``: one integer column of per-label counts."""
+    ``marg_a``/``marg_b``: one integer column of per-label counts.
+
+    Guard: exact EMI is inherently Ω(|A|·|B|) — two 1e6-cluster covers
+    mean 1e12 cells no matter how well they distribute. Above
+    ``$SPARK_GRAFT_EMI_MAX_CELLS`` (default 1e10) the call raises
+    instead of launching an open-ended job; callers needing AMI on such
+    covers should subsample or bucket the label sets first (E[MI] is a
+    smooth function of the marginals, so a size-stratified sample of
+    the marginal tables estimates it well)."""
+    import os
+
     a = marg_a.select(F.col(marg_a.columns[0]).cast("long").alias("ai"))
     b = marg_b.select(F.col(marg_b.columns[0]).cast("long").alias("bj"))
+    max_cells = float(os.environ.get("SPARK_GRAFT_EMI_MAX_CELLS", "1e10"))
+    ka, kb = a.count(), b.count()
+    if ka * kb > max_cells:
+        raise ValueError(
+            f"exact EMI over {ka}x{kb} = {ka * kb:.2e} marginal cells "
+            f"exceeds the {max_cells:.0e} cell budget "
+            "(SPARK_GRAFT_EMI_MAX_CELLS); subsample or bucket the label "
+            "sets before computing AMI at this cover size"
+        )
     spark = marg_a.sparkSession
     parts = spark.sparkContext.defaultParallelism
     cells = a.repartition(parts).crossJoin(F.broadcast(b)).select(

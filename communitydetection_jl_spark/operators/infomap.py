@@ -260,7 +260,16 @@ def _distributed_level(arcs: DataFrame, flows: DataFrame, eps: float,
     from ..plans.iterstate import StateLoop, no_aqe, shuffle_parts
 
     spark = arcs.sparkSession
-    verts = vertices_of(arcs)
+    # membership MUST seed from the FLOW table, not vertices_of(arcs):
+    # the flow collapse keeps only inter-community arcs, so a community
+    # with no external links (an absorbed connected component — common
+    # on multi-component web graphs) has flows but NO arcs at the next
+    # level; seeding from arcs silently dropped such nodes from the
+    # level membership and the projection join then lost their members
+    # from the final partition (caught by the infomap_all_det oracle at
+    # sf0.01: 1886 spark rows vs 1892 — six vertices gone). Every node
+    # keeps a partition row in the reference (src/Optimiser.jl:112-133).
+    verts = flows.select("id")
     # task granularity ∝ level data (see louvain._distributed_level)
     m_cnt = arcs.count()
     parts = max(4, min(spark.sparkContext.defaultParallelism, m_cnt // 50_000 + 1))

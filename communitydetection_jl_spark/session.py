@@ -53,8 +53,14 @@ def get_spark(
         shuffle_partitions = (
             int(cores) if isinstance(cores, int) or str(cores).isdigit() else DEFAULT_SHUFFLE_PARTITIONS
         )
+    # SPARK_GRAFT_MASTER overrides the single-JVM local[] master — the
+    # multi-JVM scaling legs pass local-cluster[W,C,mem_mb] so each
+    # "executor" gets its OWN heap and GC (the one-box proxy closest to
+    # a real N-executor cluster; also the bed that shows the local-mode
+    # ParallelGC full-GC ramp vanishing with separate heaps)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
@@ -77,8 +83,11 @@ def get_spark(
         # gather supersteps for seconds (measured: 2.7s young pauses,
         # 18s mark cycles at 48g); throughput GC suits batch supersteps
         .config("spark.driver.extraJavaOptions", _java_opts())
+        .config("spark.executor.extraJavaOptions", _java_opts())
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
+        .config("spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
         # localCheckpoint/collect task-result metadata scales with task
         # count; the 1g default aborts wide materializations
         .config("spark.driver.maxResultSize", "4g")

@@ -33,12 +33,24 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, sf_dir: str, n_pages: int) -> dict:
+def run_bench(cpus: int, sf_dir: str, n_pages: int, mode: str = "local") -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["BENCH_PAGES"] = str(n_pages)
     env["BENCH_ONLY"] = "web"  # scaling metric = the web-graph superstep workloads
+    if mode == "local-cluster":
+        # multi-JVM legs: `cpus` single-core WORKER JVMs, each with its
+        # own heap + GC — the faithful proxy for N separate executors
+        # (separate heaps also falsify/confirm the local-mode
+        # ParallelGC full-GC-ramp diagnosis: with per-worker heaps the
+        # late-iteration ramp should vanish). The driver JVM no longer
+        # executes tasks, so it gets a smaller fixed heap and (below)
+        # one extra pinned core of its own.
+        mem_mb = int(os.environ.get("SPARK_GRAFT_WORKER_MEM_MB", "8192"))
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{cpus},1,{mem_mb}]"
+        env["SPARK_GRAFT_EXECUTOR_MEM"] = f"{mem_mb}m"
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     # components feeds no scaling metric (efficiency reads only the
     # pagerank/lpa superstep extras) and costs ~15 min on the pinned
     # 2-core leg — skip it on both legs symmetrically
@@ -72,7 +84,12 @@ def run_bench(cpus: int, sf_dir: str, n_pages: int) -> dict:
     import shutil as _sh
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if _sh.which("taskset") and os.environ.get("SPARK_GRAFT_PIN", "1") != "0":
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # local-cluster legs pin W worker cores + 1 extra for the
+        # (non-executing) driver JVM — a real cluster's driver is a
+        # separate node, so giving it the small leg's worker cores
+        # would deflate the small leg and flatter the ratio
+        hi = cpus if mode == "local-cluster" else cpus - 1
+        cmd = ["taskset", "-c", f"0-{hi}"] + cmd
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, env=env,

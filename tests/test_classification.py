@@ -198,6 +198,26 @@ def test_ami_distributed_path(spark, monkeypatch):
     assert forced == pytest.approx(base, rel=1e-10, abs=1e-12)
 
 
+def test_emi_cell_budget_guard(spark, monkeypatch):
+    """Above the cell budget the distributed EMI kernel refuses with a
+    clear message instead of launching an open-ended Ω(|A|·|B|) job —
+    the documented boundary for planetary-scale covers."""
+    import pytest as _pt
+
+    from communitydetection_jl_spark.operators.classification import (
+        expected_mutual_info_distributed,
+    )
+
+    da = spark.createDataFrame([(3,), (4,), (5,)], "na long")
+    db = spark.createDataFrame([(6,), (6,)], "nb long")
+    monkeypatch.setenv("SPARK_GRAFT_EMI_MAX_CELLS", "5")
+    with _pt.raises(ValueError, match="cell budget"):
+        expected_mutual_info_distributed(da, db, 12)
+    # within budget the same call still runs
+    monkeypatch.setenv("SPARK_GRAFT_EMI_MAX_CELLS", "1e10")
+    assert expected_mutual_info_distributed(da, db, 12) > 0.0
+
+
 def test_load_gml_roundtrip(spark, tmp_path):
     """load_gml parses Newman-format GML (the famous-network
     distribution format) into the fixture (edges, truth) shape."""

@@ -123,6 +123,35 @@ def test_infomap_distributed_path(spark):
     assert res2.membership.count() == 6
 
 
+def test_infomap_keeps_isolated_communities(spark):
+    """A community with no external arcs (an absorbed connected
+    component) must survive the level collapse: the flow collapse keeps
+    only inter-community arcs, so such a community has flows but no
+    arcs at the next level — seeding the coarse membership from the arc
+    endpoints (the pre-fix behavior) silently dropped its members from
+    the final partition. Two linked cliques + one disconnected clique:
+    the disconnected clique's community has zero inter arcs after the
+    first collapse, and every one of its vertices must still appear in
+    the final membership."""
+    rows = []
+    # cliques A = 1..6, B = 7..12 linked by one edge; C = 13..18 apart
+    for base in (0, 6, 12):
+        ids = list(range(base + 1, base + 7))
+        rows += [(a, b) for a in ids for b in ids if a < b]
+    rows.append((1, 7))  # A-B bridge keeps level-1 arcs non-empty
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in rows], "src long, dst long, weight double"
+    )
+    res = infomap(edges, local_threshold=0)
+    got_ids = {r.id for r in res.membership.collect()}
+    assert got_ids == set(range(1, 19))
+    # the disconnected clique stays one community of its own
+    c_comms = {r.comm for r in res.membership.filter("id >= 13").collect()}
+    assert len(c_comms) == 1
+    other = {r.comm for r in res.membership.filter("id < 13").collect()}
+    assert c_comms.isdisjoint(other)
+
+
 def test_infomap_karate(spark):
     edges, _ = fx.karate(spark)
     res = infomap(edges)
