@@ -105,19 +105,25 @@ def main() -> None:
     # "tables" = bucketed arc/state tables, zero-exchange superstep joins
     bench_mode = os.environ.get("BENCH_MODE", "tables")
 
-    # BENCH_FUSED=1 (default): the extraction feeds the operators'
-    # state-table builds WITHOUT the 163M-row intermediate pair parquet.
-    # The old path (BENCH_FUSED=0) densified AFTER replication — two
-    # shuffle-hash joins of the full replicated table — and then
-    # round-tripped all 2m rows through parquet just to truncate the
-    # plan; the fused path densifies the ~m/replicas BASE (cheap),
-    # replicates with DENSE id offsets (nid + k·n_base, pure int
-    # arithmetic over a cached 1.3M-row frame), and hands the lazy
-    # 128-way union straight to the operators — each op's own bucketed
-    # CSR/state build is the first and only materialization of the
-    # replicated graph, fed from the cached base at memory speed.
-    # Identical graph up to the dense-id bijection (verified: same arc
-    # count, same degree distribution, oracle rows unchanged).
+    # BENCH_FUSED=1 (default): densify the ~m/replicas BASE (cheap),
+    # replicate with DENSE id offsets (nid + k·n_base, pure int
+    # arithmetic over a cached 1.3M-row frame) — the old path
+    # (BENCH_FUSED=0) instead densified AFTER replication, two
+    # shuffle-hash joins of the full 163M-row table (measured: fused
+    # extract 21-31s vs 65-120s). The replicated union is still
+    # written through parquet ONCE: an A/B that handed the lazy
+    # 128-way union straight to the operators measured extract 21s
+    # but moved 40-120s INTO every op's CSR build (csr_adjacency
+    # evaluates its input twice — broadcast hub-list subquery + main
+    # grouping — and three ops consume the same graph, so the union
+    # was re-evaluated ~6×, uncached to keep the block manager clean
+    # for the superstep loop). One columnar write + three cheap leaf
+    # scans beats six union evaluations; at a real deployment the
+    # extraction output would be a bucketed Iceberg/parquet table for
+    # exactly this reason. Graph identical up to the dense-id
+    # bijection (same arc count/degree distribution; oracle rows
+    # unchanged — LPA tie-breaks see different ids, so mover
+    # trajectories differ from the pre-fused records in r1-r4).
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
 
     def build_web_graph():
@@ -147,6 +153,18 @@ def main() -> None:
                 for c in copies[1:]:
                     out = out.unionByName(c)
                 e = out
+            # ONE materialization of the replicated graph (see the
+            # BENCH_FUSED note above), then drop the cached base so
+            # the superstep loops start with a clean block manager
+            import tempfile
+
+            from communitydetection_jl_spark.functions.scratch import register
+            sdir = os.environ.get("SPARK_GRAFT_STATE_DIR") or tempfile.gettempdir()
+            epath = os.path.join(sdir, f"bench_edges_{os.getpid()}")
+            register(epath)
+            e.repartition(cpus, "src").write.mode("overwrite").parquet(epath)
+            spark.catalog.clearCache()
+            e = spark.read.parquet(epath)
             return e, base_m * max(replicas, 1)
         if replicas > 1:
             # disjoint structural copies (vertex-id offset) — scales the
@@ -202,62 +220,69 @@ def main() -> None:
     web_edges, web_m = timed("web_extract_edges", build_web_graph)
     extras["web_edges"] = web_m
 
+    # BENCH_SKIP (comma list): scaling legs / focused probes drop
+    # queries that feed no metric they read
+    skip = {
+        s.strip() for s in os.environ.get("BENCH_SKIP", "").split(",") if s.strip()
+    }
+
     pr_max = int(os.environ.get("BENCH_PR_MAX_ITER", "100"))
     # 15 supersteps give a stable steady-state median at baseline-corpus
     # scale without doubling the suite wall time (LPA converges slowly
     # on the replicated corpus; throughput is the metric, not the tail)
     lpa_max = int(os.environ.get("BENCH_LPA_MAX_ITER", "15"))
-    pr_res = timed("web_pagerank", lambda: pagerank(
-        web_edges, tol=1e-6, max_iter=pr_max, mode=bench_mode))
-    extras["web_pagerank_iters"] = pr_res.iterations
-    extras["pagerank_edges_per_sec_per_superstep"] = round(
-        web_m * pr_res.iterations / max(queries["web_pagerank"], 1e-9), 1
-    )
-    # steady-state throughput: median superstep wall time (robust to the
-    # first-iteration JIT warmup and box-level noise)
-    extras["pagerank_superstep_median_sec"] = round(_median(pr_res.iter_seconds), 3)
-    extras["pagerank_edges_per_sec_steady"] = round(
-        web_m / max(_median(pr_res.iter_seconds), 1e-9), 1
-    )
-    # full distribution + min ("steady-state floor": the achievable
-    # superstep absent box-level noise spikes) as scaling evidence
-    extras["pagerank_iter_seconds"] = [round(s, 2) for s in pr_res.iter_seconds]
-    extras["pagerank_superstep_min_sec"] = round(min(pr_res.iter_seconds), 3)
+    if "web_pagerank" not in skip:
+        pr_res = timed("web_pagerank", lambda: pagerank(
+            web_edges, tol=1e-6, max_iter=pr_max, mode=bench_mode))
+        extras["web_pagerank_iters"] = pr_res.iterations
+        extras["pagerank_edges_per_sec_per_superstep"] = round(
+            web_m * pr_res.iterations / max(queries["web_pagerank"], 1e-9), 1
+        )
+        # steady-state throughput: median superstep wall time (robust to
+        # the first-iteration JIT warmup and box-level noise)
+        extras["pagerank_superstep_median_sec"] = round(
+            _median(pr_res.iter_seconds), 3)
+        extras["pagerank_edges_per_sec_steady"] = round(
+            web_m / max(_median(pr_res.iter_seconds), 1e-9), 1
+        )
+        # full distribution + min ("steady-state floor": the achievable
+        # superstep absent box-level noise spikes) as scaling evidence
+        extras["pagerank_iter_seconds"] = [
+            round(s, 2) for s in pr_res.iter_seconds]
+        extras["pagerank_superstep_min_sec"] = round(
+            min(pr_res.iter_seconds), 3)
 
-    lpa_res = timed("web_lpa", lambda: lpa(
-        web_edges, max_iter=lpa_max, mode=bench_mode))
-    extras["web_lpa_iters"] = lpa_res.iterations
-    # LPA gathers over the symmetrized view: 2m edge-messages per superstep
-    extras["lpa_edges_per_sec_per_superstep"] = round(
-        2 * web_m * lpa_res.iterations / max(queries["web_lpa"], 1e-9), 1
-    )
-    # steady-state throughput MUST read full-gather supersteps only:
-    # once the incremental (delta-counts) path engages, a superstep
-    # processes O(changed_edges + counts) — not 2m — so dividing 2m by
-    # a delta superstep's seconds overstates throughput, and the late
-    # tiny delta supersteps are fixed-overhead-bound (their min says
-    # nothing about how the gather kernel scales with cores)
-    full_iters = (
-        lpa_res.iter_seconds[: lpa_res.delta_from - 1]
-        if lpa_res.delta_from
-        else lpa_res.iter_seconds
-    ) or lpa_res.iter_seconds
-    extras["lpa_superstep_median_sec"] = round(_median(full_iters), 3)
-    extras["lpa_edges_per_sec_steady"] = round(
-        2 * web_m / max(_median(full_iters), 1e-9), 1
-    )
-    extras["lpa_iter_seconds"] = [round(s, 2) for s in lpa_res.iter_seconds]
-    extras["lpa_superstep_min_sec"] = round(min(full_iters), 3)
-    extras["lpa_changed_history"] = lpa_res.changed_history
-    extras["lpa_delta_from"] = lpa_res.delta_from
+    if "web_lpa" not in skip:
+        lpa_res = timed("web_lpa", lambda: lpa(
+            web_edges, max_iter=lpa_max, mode=bench_mode))
+        extras["web_lpa_iters"] = lpa_res.iterations
+        # LPA gathers over the symmetrized view: 2m edge-messages per
+        # superstep
+        extras["lpa_edges_per_sec_per_superstep"] = round(
+            2 * web_m * lpa_res.iterations / max(queries["web_lpa"], 1e-9), 1
+        )
+        # steady-state throughput MUST read full-gather supersteps only:
+        # once the incremental (delta-counts) path engages, a superstep
+        # processes O(changed_edges + counts) — not 2m — so dividing 2m
+        # by a delta superstep's seconds overstates throughput, and the
+        # late tiny delta supersteps are fixed-overhead-bound (their min
+        # says nothing about how the gather kernel scales with cores)
+        full_iters = (
+            lpa_res.iter_seconds[: lpa_res.delta_from - 1]
+            if lpa_res.delta_from
+            else lpa_res.iter_seconds
+        ) or lpa_res.iter_seconds
+        extras["lpa_superstep_median_sec"] = round(_median(full_iters), 3)
+        extras["lpa_edges_per_sec_steady"] = round(
+            2 * web_m / max(_median(full_iters), 1e-9), 1
+        )
+        extras["lpa_iter_seconds"] = [round(s, 2) for s in lpa_res.iter_seconds]
+        extras["lpa_superstep_min_sec"] = round(min(full_iters), 3)
+        extras["lpa_changed_history"] = lpa_res.changed_history
+        extras["lpa_delta_from"] = lpa_res.delta_from
 
-    # BENCH_SKIP (comma list): scaling legs drop queries that feed no
-    # scaling metric — web_components alone costs ~15 min at a pinned
-    # 2-core leg while the efficiency ratio reads only the
-    # pagerank/lpa superstep extras
-    skip = {
-        s.strip() for s in os.environ.get("BENCH_SKIP", "").split(",") if s.strip()
-    }
+    # (web_components costs ~15 min on a pinned 2-core scaling leg
+    # while feeding no scaling metric — legs skip it via BENCH_SKIP)
     if "web_components" not in skip:
         timed("web_components", lambda: connected_components(
             web_edges, mode=bench_mode).count())

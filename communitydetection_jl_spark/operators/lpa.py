@@ -86,6 +86,41 @@ class LPAResult:
     first_superstep_fast: bool = False
 
 
+def _struct_argmax(counts: DataFrame, sticky: bool) -> DataFrame:
+    """Argmax over a (id, lbl, cnt, cur) count frame as max-of-struct
+    (lexicographic: count, sticky flag, smallest-label).
+
+    The struct agg buffer is not fixed-width, so this lands in a
+    SortAggregate — but over the ALREADY-AGGREGATED (id,lbl) groups,
+    partition-local, inside the same post-exchange stage (no second
+    shuffle; the sort is O(groups) per partition and spillable).
+    A packed-64-bit-key variant (cnt·2^32 + sticky·2^31 + (2^31−1−lbl),
+    order-isomorphic for 31-bit ids) that turns this into a fixed-width
+    HashAggregate was A/B'd at the 163M-arc bench corpus and REJECTED:
+    identical mover histories, but the extra per-task hash table on top
+    of the count agg's (both live in the same post-exchange stage)
+    pushed full-gather supersteps from 7.7-14.6s to 33-49s under the
+    24g bench heap — the sort is the memory-lean choice exactly where
+    cardinality peaks."""
+    return counts.groupBy("id").agg(
+        F.max(
+            F.struct(
+                F.col("cnt"),
+                (F.col("cur").cast("int") if sticky else F.lit(0)).alias("t1"),
+                (-F.col("lbl")).alias("t2"),
+                F.col("lbl").alias("lbl"),
+            )
+        ).alias("_want"),
+        F.max(
+            F.struct(F.col("cur").cast("int").alias("c"), F.col("lbl").alias("lbl"))
+        ).alias("_cur"),
+    ).select(
+        "id",
+        F.col("_want.lbl").alias("want_lbl"),
+        F.col("_cur.lbl").alias("cur_lbl"),
+    )
+
+
 def lpa_superstep(
     sym_edges: DataFrame,
     labels: DataFrame,
@@ -94,6 +129,7 @@ def lpa_superstep(
     parity_expr=None,
     active: DataFrame | None = None,
     listener_pred=None,
+    gather_parts: int | None = None,
 ) -> DataFrame:
     """One gather/argmax superstep. ``sym_edges`` is (src, dst, vote),
     or bare (src, dst) for the unit-vote fast path — then votes are
@@ -115,6 +151,17 @@ def lpa_superstep(
     plan into its write job."""
     state = labels.select("id", "lbl")
     unit = "vote" not in sym_edges.columns
+
+    def _to_id(df):
+        # ONE exchange per superstep: hash-partitioning by id alone
+        # satisfies the clustering needs of BOTH the (id,lbl) count
+        # agg and the (id) argmax agg. ``gather_parts`` overrides the
+        # session partition count for THIS exchange only — the caller
+        # widens it at peak label diversity so each task's aggregation
+        # state stays inside execution memory (see label_propagation).
+        return (df.repartition(gather_parts, "id") if gather_parts
+                else df.repartition("id"))
+
     if unit:
         if "srcs" in sym_edges.columns:
             # CSR gather: one row per speaker with its listener array
@@ -147,8 +194,7 @@ def lpa_superstep(
         # partial agg is no loss — early supersteps have near-distinct
         # (id,lbl) pairs, late ones are frontier-filtered)
         counts = (
-            gather.unionByName(self_rows)
-            .repartition("id")
+            _to_id(gather.unionByName(self_rows))
             .groupBy("id", "lbl")
             .agg(
                 # the self row covers every vertex + flags cur, but is
@@ -171,35 +217,13 @@ def lpa_superstep(
         if listener_pred is not None:
             self_rows = self_rows.filter(listener_pred)
         counts = (
-            gather.unionByName(self_rows)
-            .repartition("id")
+            _to_id(gather.unionByName(self_rows))
             .groupBy("id", "lbl")
             .agg(F.sum("vote").alias("cnt"), F.max("cur").alias("cur"))
         )
-    # argmax as max-of-struct (lexicographic: count, sticky flag,
-    # smallest-label). Physical plan (audited via explain("formatted")):
-    # the struct agg buffer is not fixed-width, so this lands in a
-    # SortAggregate — but over the ALREADY-AGGREGATED (id,lbl) groups,
-    # partition-local, inside the same post-exchange stage (no second
-    # shuffle, no sort of the raw 2m-row gather; the sort is O(groups)
-    # per partition and spillable)
-    best = counts.groupBy("id").agg(
-        F.max(
-            F.struct(
-                F.col("cnt"),
-                (F.col("cur").cast("int") if sticky else F.lit(0)).alias("t1"),
-                (-F.col("lbl")).alias("t2"),
-                F.col("lbl").alias("lbl"),
-            )
-        ).alias("_want"),
-        F.max(
-            F.struct(F.col("cur").cast("int").alias("c"), F.col("lbl").alias("lbl"))
-        ).alias("_cur"),
-    ).select(
-        "id",
-        F.col("_want.lbl").alias("want_lbl"),
-        F.col("_cur.lbl").alias("cur_lbl"),
-    )
+    # argmax (see _struct_argmax for the physical-plan rationale and
+    # the rejected packed-key alternative)
+    best = _struct_argmax(counts, sticky)
     want = F.col("want_lbl")
     if active_parity is not None:
         # which half of the vertices may move this superstep; the
@@ -439,8 +463,41 @@ def label_propagation(
     counts = None            # delta mode: materialized (id, lbl, cnt)
     counts_loop = None
     counts_fresh = False     # just (re)built from current labels?
-    total_msgs = None        # 2m = Σdeg, denominator of the delta gate
     delta_from = None
+    # one n-row agg on the (materialized) state: Σdeg = 2m is the
+    # delta gate's denominator (previously computed lazily at the
+    # first engage check)
+    total_msgs = int(
+        state.agg(F.sum("deg")).collect()[0][0] or 0)
+    # Peak-diversity gather widening: the first few full gathers of an
+    # identity-init run aggregate near-distinct (listener, label)
+    # groups — at 2m/P groups per task the post-exchange aggregation
+    # outgrows per-task execution memory and spills (A/B at the
+    # 163M-arc bench corpus, 24g heap: superstep 2 median ~45s at
+    # P=64 vs ~21s at 128 gather partitions; identical mover
+    # histories). Widen THAT exchange only, so each task's agg state
+    # fits; the argmax output then takes one extra n-row exchange back
+    # to the P-bucketed state join, which is two orders of magnitude
+    # smaller than the spill it avoids. Later supersteps have
+    # collapsed label sets (group count ≪ messages), so widening is
+    # capped to the first ``_gw_until`` supersteps.
+    _gw_budget = int(
+        _os.environ.get("SPARK_GRAFT_GATHER_GROUP_BUDGET", "1500000"))
+    _gw_until = int(_os.environ.get("SPARK_GRAFT_GATHER_WIDEN_UNTIL", "3"))
+    _gp_force = int(_os.environ.get("SPARK_GRAFT_GATHER_PARTS", "0")) or None
+
+    def _gather_parts(it_1based: int) -> int | None:
+        if _gp_force:
+            return _gp_force
+        if it_1based > _gw_until:
+            return None
+        msgs = total_msgs // 2 if semi_sync else total_msgs
+        per_task = msgs // max(P, 1)
+        if per_task <= _gw_budget:
+            return None
+        import math as _math
+
+        return min(P * _math.ceil(per_task / _gw_budget), 8 * P)
     # shuffle partitions = bucket count keeps the gather agg and the
     # state join co-partitioned with zero extra exchange (restored via
     # context manager even if a superstep raises)
@@ -730,6 +787,7 @@ def label_propagation(
                         sticky=sticky,
                         active=active_set,
                         listener_pred=pexpr == F.lit(parity),
+                        gather_parts=_gather_parts(it),
                     ).select(
                         "id",
                         F.col("lbl").alias("ev_lbl"),
@@ -793,6 +851,7 @@ def label_propagation(
                         active_parity=parity,
                         parity_expr=parity_expr,
                         active=active_set,
+                        gather_parts=_gather_parts(it),
                     ).join(
                         state.select(
                             "id", F.col("lbl").alias("prev"),
@@ -835,9 +894,6 @@ def label_propagation(
                 break
             prev_changed_cnt = changed_cnt
             if delta_ok and counts is None:
-                if total_msgs is None:
-                    total_msgs = int(
-                        state.agg(F.sum("deg")).collect()[0][0] or 0)
                 if frontier_bound + wants_cnt <= delta_msgs_frac * total_msgs:
                     # engage: ONE full gather builds the counts table
                     if counts_loop is None:

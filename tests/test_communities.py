@@ -364,6 +364,29 @@ def test_lpa_delta_shuffle_join_exact(spark):
         assert a == b, name
 
 
+def test_lpa_id_shift_invariance(spark):
+    """LPA must be invariant to the absolute magnitude of vertex ids
+    (64-bit ids are first-class; tie-breaks depend only on relative
+    order): the SAME graph with every id shifted past 2^31 must yield
+    the identical labeling under the shift, with identical
+    per-superstep mover counts."""
+    off = (1 << 31) + 2  # even: keeps pmod(id, 2) parity shift-invariant
+    par = F.pmod(F.col("id"), F.lit(2))
+    for mode in ("dir", "tables"):
+        edges, _ = fx.ring_of_cliques(spark)
+        packed = lpa(edges, max_iter=30, mode=mode, renumber=False,
+                     parity_expr=par, state_name=f"lpa_pk_{mode}")
+        shifted = edges.selectExpr(
+            f"cast(src + {off} as bigint) as src",
+            f"cast(dst + {off} as bigint) as dst")
+        unpacked = lpa(shifted, max_iter=30, mode=mode, renumber=False,
+                       parity_expr=par, state_name=f"lpa_upk_{mode}")
+        assert packed.changed_history == unpacked.changed_history, mode
+        a = {(r.id, r.comm) for r in packed.labels.collect()}
+        b = {(r.id - off, r.comm - off) for r in unpacked.labels.collect()}
+        assert a == b, mode
+
+
 def test_lpa_strategy_invariance(spark):
     """Execution strategy must never change the answer: the semi-sync
     active-parity listener filter, the two-superstep (changed|prevch)
