@@ -218,7 +218,14 @@ def lpa_record(
     (step, id, lbl, q) ordered by vote step. The sweep itself is one
     sequential Arrow task (per-move recording serializes by
     definition); the surrounding plumbing — symmetrize, vote weights,
-    final-label extraction — stays in DataFrame land."""
+    final-label extraction — stays in DataFrame land.
+
+    Practical size bound: the single Arrow task materializes the whole
+    symmetrized edge list (~48B/arc in pandas) plus the per-move
+    record, so keep inputs under ~50M arcs / a few GB of task memory.
+    This is the fidelity mode for reference-parity studies; at scale
+    use lpa() (BSP, per-superstep Q via record_quality ledgers) or
+    lpa_async's sharded sweeps."""
     e = with_weight(edges)
     sym = symmetrize(e).select(
         "src", "dst", (F.col("weight") if weighted else F.lit(1.0)).alias("vote")
