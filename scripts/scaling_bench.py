@@ -358,12 +358,17 @@ def main() -> None:
         "Full JSON: `BENCH/scaling.json`.",
         "",
     ]
-    # the deployment/resume evidence section is maintained by hand —
-    # carry it across regenerations instead of dropping it
+    # the multi-JVM scaling block and the deployment/resume evidence
+    # section are produced by other runs / maintained by hand — carry
+    # both across regenerations instead of dropping them
     prev_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     marker = "## Deployment / resume check"
     if os.path.exists(prev_path):
         prev = open(prev_path).read()
+        if CLUSTER_START in prev and CLUSTER_END in prev:
+            lines.append(
+                prev[prev.index(CLUSTER_START):
+                     prev.index(CLUSTER_END) + len(CLUSTER_END)])
         if marker in prev:
             lines.append(prev[prev.index(marker):])
     with open(prev_path, "w") as f:
